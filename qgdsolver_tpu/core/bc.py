@@ -1,0 +1,131 @@
+"""Boundary conditions over structured block faces.
+
+The reference implements BCs as OpenFOAM fvPatchField subclasses (reference
+QGD/BCs/: qgdFluxFvPatchScalarField.C, qhdFluxFvPatchScalarField.C,
+cosVelocityFvPatchVectorField.C).  Here a BC is a small frozen dataclass that
+maps the first interior cell layer to a ghost cell layer; all operators then
+work on ghost-padded arrays with uniform slicing (TPU/XLA friendly — no
+scatter, no boundary special cases inside kernels).  The padding itself lives
+in ops/pad.py.
+
+Ghost conventions (ghost center mirrored across the face, distance dx_edge
+from the interior center):
+  FixedValue v     : G = 2 v - I        (face value == v under linear interp)
+  ZeroGradient     : G = I
+  FixedGradient g  : G = I + g dx_edge  (g = outward-normal gradient)
+  Symmetry scalar  : G = I
+  Symmetry vector  : normal component negated, tangential copied
+  Periodic         : G = opposite-side interior layer
+  Extrapolated     : G = 2 I - I2       (linear extrapolation, outflow)
+
+BC `value`/`grad` entries may be:
+  * a scalar (or per-component vector for vector fields),
+  * an array broadcastable against the boundary layer (axis-`a` dim kept as 1),
+  * a callable `f(t, coords)` with `coords` a tuple of ndim broadcastable
+    coordinate arrays of the ghost layer (the normal axis holds the face
+    coordinate) — this is how time/space-dependent BCs like the reference's
+    cosVelocity (cosVelocityFvPatchVectorField_8C.html:176-186) are written.
+
+State-coupled pressure BCs (qgdFlux / qhdFlux) are realised by the solvers
+constructing a FixedGradient with the traced per-step gradient value
+(reference qgdFluxFvPatchScalarField.C updateCoeffs: dp/dn = -phiwStar/(tau_f
+|Sf|); qhdFlux adds the rho_f factor) — see solvers/qgd.py / solvers/qhd.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import jax.numpy as jnp
+
+
+class BC:
+    """Base class for boundary conditions (marker)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class FixedValue(BC):
+    value: tp.Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ZeroGradient(BC):
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class FixedGradient(BC):
+    grad: tp.Any  # outward-normal gradient
+
+
+@dataclasses.dataclass(frozen=True)
+class Symmetry(BC):
+    """Symmetry plane / slip wall. Scalars: zero gradient; vectors: mirror."""
+
+
+@dataclasses.dataclass(frozen=True)
+class Periodic(BC):
+    """Cyclic boundary; both sides of the axis must be Periodic."""
+
+
+@dataclasses.dataclass(frozen=True)
+class Extrapolated(BC):
+    """Linear extrapolation from the two interior layers (outflow-ish)."""
+
+
+def noslip(ndim: int) -> FixedValue:
+    return FixedValue(jnp.zeros((ndim,)))
+
+
+def cos_velocity(amplitude, omega0, phi0, height, ndim, flow_axis=0, profile_axis=1):
+    """Time-periodic velocity BC — reference cosVelocity:
+    U = A*cos(pi*z/H)*(-omega0)*sin(omega0*t + phi0)
+    (cosVelocityFvPatchVectorField_8C.html:176-186)."""
+
+    def value(t, coords):
+        z = coords[profile_axis]
+        u = amplitude * jnp.cos(jnp.pi * z / height) * (-omega0) * jnp.sin(
+            omega0 * t + phi0
+        )
+        comps = [jnp.zeros_like(u + 0.0 * t) for _ in range(ndim)]
+        comps[flow_axis] = u + 0.0 * comps[flow_axis]
+        return jnp.stack(jnp.broadcast_arrays(*comps), axis=0)
+
+    return FixedValue(value)
+
+
+def homogeneous(bc: BC) -> BC:
+    """Zero the inhomogeneous part — used to build the linear part of implicit
+    operators (matrix-free CG matvec needs a linear map)."""
+    if isinstance(bc, FixedValue):
+        return FixedValue(0.0)
+    if isinstance(bc, FixedGradient):
+        return FixedGradient(0.0)
+    return bc
+
+
+class FieldBCs:
+    """Per-field boundary set: one BC per (axis, side), side 0=low, 1=high."""
+
+    def __init__(self, bcs):
+        self.bcs = tuple(tuple(b) for b in bcs)
+
+    @staticmethod
+    def uniform(bc: BC, ndim: int) -> "FieldBCs":
+        return FieldBCs(tuple((bc, bc) for _ in range(ndim)))
+
+    def __getitem__(self, key):
+        axis, side = key
+        return self.bcs[axis][side]
+
+    @property
+    def ndim(self):
+        return len(self.bcs)
+
+    def replace(self, axis: int, side: int, bc: BC) -> "FieldBCs":
+        bcs = [list(b) for b in self.bcs]
+        bcs[axis][side] = bc
+        return FieldBCs(bcs)
+
+    def map(self, fn) -> "FieldBCs":
+        return FieldBCs(tuple(tuple(fn(b) for b in row) for row in self.bcs))

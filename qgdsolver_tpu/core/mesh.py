@@ -1,0 +1,210 @@
+"""Structured rectilinear block mesh for the TPU-native QGD framework.
+
+The reference (unicfdlab/QGDsolver) runs on unstructured OpenFOAM meshes; this
+framework deliberately targets structured rectilinear blocks so that every
+face-stencil operator becomes a fixed-pattern array-slicing op that XLA tiles
+onto the TPU VPU, and domain decomposition becomes plain array sharding over a
+`jax.sharding.Mesh`.
+
+Geometry quantities mirror the reference definitions:
+  * QGD face length scale  h_f = 2*min(|C_own-C_f|, |C_nei-C_f|)
+    (uncoupled boundary faces: h_f = 2*|C_own-C_f|), see reference
+    docs/html/QGDCoeffs_8C_source.html:298-317 (orig. QGD/QGDCoeffs/QGDCoeffs.C).
+  * QGD cell length scale  h = sum_faces(h_f*|S_f|)/sum_faces(|S_f|), see
+    docs/html/QGDCoeffs_8C_source.html:320-362.
+
+All per-axis geometry is stored as 1-D arrays and broadcast on demand; on a
+rectilinear mesh every geometric factor is separable, so nothing of O(n_cells)
+is ever materialised for geometry.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _reshape_axis(arr: np.ndarray, axis: int, ndim: int) -> np.ndarray:
+    """Reshape 1-D `arr` so it broadcasts along `axis` of an ndim-D field."""
+    shape = [1] * ndim
+    shape[axis] = arr.shape[0]
+    return arr.reshape(shape)
+
+
+@dataclasses.dataclass(frozen=True)
+class Mesh:
+    """Rectilinear structured mesh in 1, 2 or 3 dimensions.
+
+    Parameters
+    ----------
+    x_faces : tuple of 1-D float arrays, one per axis, strictly increasing,
+        giving the face coordinates along that axis (length n_i + 1).
+    """
+
+    x_faces: tuple
+    dtype: np.dtype = np.float32
+
+    # -- construction helpers -------------------------------------------------
+    @staticmethod
+    def uniform(shape, lengths=None, origin=None, dtype=np.float32) -> "Mesh":
+        """Uniform mesh with `shape` cells spanning `lengths` (default unit box)."""
+        ndim = len(shape)
+        lengths = lengths if lengths is not None else (1.0,) * ndim
+        origin = origin if origin is not None else (0.0,) * ndim
+        faces = tuple(
+            np.linspace(origin[a], origin[a] + lengths[a], shape[a] + 1, dtype=np.float64)
+            for a in range(ndim)
+        )
+        return Mesh(x_faces=faces, dtype=dtype)
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "x_faces", tuple(np.asarray(xf, dtype=np.float64) for xf in self.x_faces)
+        )
+
+    # -- basic topology --------------------------------------------------------
+    @property
+    def ndim(self) -> int:
+        return len(self.x_faces)
+
+    @cached_property
+    def shape(self) -> tuple:
+        return tuple(xf.shape[0] - 1 for xf in self.x_faces)
+
+    @property
+    def num_cells(self) -> int:
+        return int(np.prod(self.shape))
+
+    def face_shape(self, axis: int) -> tuple:
+        s = list(self.shape)
+        s[axis] += 1
+        return tuple(s)
+
+    # -- 1-D geometry (numpy, used to build broadcastable constants) ----------
+    @cached_property
+    def dx(self) -> tuple:
+        """Cell widths per axis, shape (n_a,)."""
+        return tuple(np.diff(xf) for xf in self.x_faces)
+
+    @cached_property
+    def centers(self) -> tuple:
+        """Cell center coordinates per axis, shape (n_a,)."""
+        return tuple(0.5 * (xf[:-1] + xf[1:]) for xf in self.x_faces)
+
+    @cached_property
+    def _pdx(self) -> tuple:
+        """Cell widths padded with mirrored ghost widths, shape (n_a+2,)."""
+        return tuple(np.concatenate([[d[0]], d, [d[-1]]]) for d in self.dx)
+
+    @cached_property
+    def d_centers(self) -> tuple:
+        """Center-to-center distance across each face (ghosts mirrored),
+        shape (n_a+1,).  Across boundary faces this equals the edge cell width
+        (mirror ghost), matching OpenFOAM's boundary deltaCoeffs 1/|C_own-C_f|
+        up to the factor-2 handled in the BC ghost values."""
+        return tuple(0.5 * (p[:-1] + p[1:]) for p in self._pdx)
+
+    @cached_property
+    def w_face(self) -> tuple:
+        """Linear interpolation weight of the LEFT (lower-index) cell at each
+        face, shape (n_a+1,).  f_face = w*f_left + (1-w)*f_right, ghost-padded
+        indexing.  w = dx_right / (dx_left + dx_right) — OpenFOAM linear
+        (see reference QGDInterpolate_8H.html qgdInterpolate == linear)."""
+        return tuple(p[1:] / (p[:-1] + p[1:]) for p in self._pdx)
+
+    @cached_property
+    def w_vertex(self) -> tuple:
+        """Same weights used to interpolate cell lines to vertex planes along
+        an axis (identical formula: vertices coincide with face coordinates)."""
+        return self.w_face
+
+    # -- QGD length scales (reference QGDCoeffs::updateQGDLength) --------------
+    @cached_property
+    def h_face_1d(self) -> tuple:
+        """Per-axis face QGD length, shape (n_a+1,).
+
+        Interior: 2*min(dx_l/2, dx_r/2) = min(dx_l, dx_r);
+        boundary: 2*(dx/2)*... reference sets boundary h_f = deltaCoeff^-1 * 2
+        = (dx/2)*2 = dx (QGDCoeffs_8C_source.html:195-199, 310-317)."""
+        out = []
+        for d in self.dx:
+            h = np.empty(d.shape[0] + 1)
+            h[1:-1] = np.minimum(d[:-1], d[1:])
+            h[0] = d[0]
+            h[-1] = d[-1]
+            out.append(h)
+        return tuple(out)
+
+    # -- broadcastable jnp geometry --------------------------------------------
+    def bcast(self, arr_1d, axis: int):
+        """1-D array -> broadcastable jnp array along `axis` of a cell field."""
+        return jnp.asarray(
+            _reshape_axis(np.asarray(arr_1d), axis, self.ndim), dtype=self.dtype
+        )
+
+    @cached_property
+    def cell_volume(self):
+        """Cell volumes, broadcastable to the cell shape."""
+        v = _reshape_axis(self.dx[0], 0, self.ndim)
+        for a in range(1, self.ndim):
+            v = v * _reshape_axis(self.dx[a], a, self.ndim)
+        return jnp.asarray(v, dtype=self.dtype)
+
+    def face_area(self, axis: int):
+        """|S_f| for faces normal to `axis`, broadcastable to the face shape
+        (constant along `axis`)."""
+        a_ = np.ones([1] * self.ndim)
+        for b in range(self.ndim):
+            if b != axis:
+                a_ = a_ * _reshape_axis(self.dx[b], b, self.ndim)
+        return jnp.asarray(a_, dtype=self.dtype)
+
+    def h_face(self, axis: int):
+        """QGD face length scale h_f, broadcastable to axis-face fields."""
+        return self.bcast(self.h_face_1d[axis], axis)
+
+    @cached_property
+    def h_cell(self):
+        """QGD cell length scale: area-weighted face-h average over the cell's
+        2*ndim faces (reference QGDCoeffs_8C_source.html:320-362).
+
+        On a rectilinear mesh |S_f| is constant per axis within a cell, so
+        h = sum_a A_a*(h_f(lo)+h_f(hi)) / sum_a 2*A_a with A_a separable.
+        Returns a full (broadcast) cell-shaped array."""
+        num = 0.0
+        den = 0.0
+        for a in range(self.ndim):
+            hf = self.h_face_1d[a]
+            h_lo = _reshape_axis(hf[:-1], a, self.ndim)
+            h_hi = _reshape_axis(hf[1:], a, self.ndim)
+            area = np.ones([1] * self.ndim)
+            for b in range(self.ndim):
+                if b != a:
+                    area = area * _reshape_axis(self.dx[b], b, self.ndim)
+            num = num + area * (h_lo + h_hi)
+            den = den + 2.0 * area
+        return jnp.asarray(np.broadcast_to(num / den, self.shape), dtype=self.dtype)
+
+    @cached_property
+    def ext_centers(self) -> tuple:
+        """Cell centers extended with mirrored ghost centers, shape (n_a+2,)."""
+        out = []
+        for a in range(self.ndim):
+            c = self.centers[a]
+            xf = self.x_faces[a]
+            out.append(np.concatenate([[2 * xf[0] - c[0]], c, [2 * xf[-1] - c[-1]]]))
+        return tuple(out)
+
+    # -- misc -------------------------------------------------------------------
+    def min_h(self) -> float:
+        return float(min(h.min() for h in self.h_face_1d))
+
+    def cell_coords(self, axis: int):
+        """Cell center coordinates along axis, broadcastable."""
+        return self.bcast(self.centers[axis], axis)
+
+    def face_coords(self, axis: int):
+        """Face coordinates along axis (for axis-normal faces), broadcastable."""
+        return self.bcast(self.x_faces[axis], axis)

@@ -1,0 +1,129 @@
+"""Ghost-cell padding of cell fields under boundary conditions.
+
+Corner/edge ghosts are produced by padding the axes sequentially: the layer
+fed to a later axis' BC already contains the earlier axes' ghosts, so the
+diagonal ghost cells needed by the vertex (full) gradient stencil come out
+consistent — this replaces the reference's MPI "corner process" discovery
+machinery (extendedFaceStencilFindNeighbours_8C.html:305-612) with two/three
+ordered pads, which under sharding lower to ordinary XLA halo exchanges.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import bc as bcm
+from ..core.mesh import Mesh
+
+
+def _spatial_axis(arr_ndim: int, mesh_ndim: int, a: int) -> int:
+    """Mesh axis a -> array axis (spatial axes are the trailing mesh_ndim)."""
+    return arr_ndim - mesh_ndim + a
+
+
+def _sl(arr, axis, s):
+    idx = [slice(None)] * arr.ndim
+    idx[axis] = s
+    return arr[tuple(idx)]
+
+
+def _layer_coords(mesh: Mesh, a: int, side: int):
+    """Broadcastable coordinate arrays of the ghost layer being built while
+    padding axis `a` (axes < a already padded -> extended centers).  Shaped
+    over the mesh.ndim spatial dims only, so they broadcast under any leading
+    component/batch axes."""
+    nd = mesh.ndim
+    coords = []
+    for b in range(nd):
+        if b == a:
+            c = jnp.asarray(
+                mesh.x_faces[a][0] if side == 0 else mesh.x_faces[a][-1],
+                dtype=mesh.dtype,
+            ).reshape((1,) * nd)
+        else:
+            vals = mesh.ext_centers[b] if b < a else mesh.centers[b]
+            shape = [1] * nd
+            shape[b] = len(vals)
+            c = jnp.asarray(vals, dtype=mesh.dtype).reshape(shape)
+        coords.append(c)
+    return tuple(coords)
+
+
+def _eval_bc_value(v, t, coords, vector, ncomp, layer_ndim):
+    """Evaluate a BC value spec into an array broadcastable with the layer."""
+    if callable(v):
+        return v(t, coords)
+    v = jnp.asarray(v)
+    if vector and v.ndim == 1 and v.shape[0] == ncomp:
+        return v.reshape((ncomp,) + (1,) * (layer_ndim - 1))
+    return v
+
+
+def _ghost_layers(bc_lo, bc_hi, arr, mesh, a, t, vector):
+    """(lo, hi) ghost layers (size-1 along the padded axis) for mesh axis a."""
+    nd = mesh.ndim
+    ax = _spatial_axis(arr.ndim, nd, a)
+    i_lo = _sl(arr, ax, slice(0, 1))
+    i_hi = _sl(arr, ax, slice(-1, None))
+    dx_lo = mesh.dx[a][0]
+    dx_hi = mesh.dx[a][-1]
+    ncomp = arr.shape[0] if vector else 0
+
+    def one(bc, side, interior, other_interior, dx, near2):
+        if isinstance(bc, bcm.FixedValue):
+            coords = _layer_coords(mesh, a, side)
+            v = _eval_bc_value(bc.value, t, coords, vector, ncomp, interior.ndim)
+            return 2.0 * v - interior
+        if isinstance(bc, bcm.ZeroGradient):
+            return interior
+        if isinstance(bc, bcm.Symmetry):
+            if vector:
+                sign = jnp.ones((ncomp,)).at[a].set(-1.0)
+                return interior * sign.reshape((ncomp,) + (1,) * (interior.ndim - 1))
+            return interior
+        if isinstance(bc, bcm.FixedGradient):
+            coords = _layer_coords(mesh, a, side)
+            g = _eval_bc_value(bc.grad, t, coords, vector, ncomp, interior.ndim)
+            return interior + g * dx
+        if isinstance(bc, bcm.Periodic):
+            return other_interior
+        if isinstance(bc, bcm.Extrapolated):
+            return 2.0 * interior - near2
+        raise TypeError(f"unsupported BC {bc!r}")
+
+    lo = one(bc_lo, 0, i_lo, i_hi, dx_lo, _sl(arr, ax, slice(1, 2)))
+    hi = one(bc_hi, 1, i_hi, i_lo, dx_hi, _sl(arr, ax, slice(-2, -1)))
+    return lo, hi, ax
+
+
+def ghost_pad(field, bcs: bcm.FieldBCs, mesh: Mesh, t=0.0, vector: bool = False):
+    """Pad `field` with one ghost layer per spatial axis.
+
+    field: (..., n0, n1[, n2]) — trailing axes are spatial; for vector=True the
+    leading axis is the component axis and Symmetry flips the normal component.
+    """
+    out = field
+    for a in range(mesh.ndim):
+        lo, hi, ax = _ghost_layers(bcs[a, 0], bcs[a, 1], out, mesh, a, t, vector)
+        lo = jnp.broadcast_to(lo, lo.shape[:ax] + (1,) + lo.shape[ax + 1:]) if lo.ndim == out.ndim else lo
+        out = jnp.concatenate(
+            [jnp.broadcast_to(lo, _shape_with(out, ax, 1)),
+             out,
+             jnp.broadcast_to(hi, _shape_with(out, ax, 1))],
+            axis=ax,
+        )
+    return out
+
+
+def _shape_with(arr, axis, n):
+    s = list(arr.shape)
+    s[axis] = n
+    return tuple(s)
+
+
+def trim_other_axes(arr, mesh_ndim: int, keep_axis: int):
+    """Drop the ghost layers along every spatial axis except `keep_axis`."""
+    sl = [slice(None)] * arr.ndim
+    for a in range(mesh_ndim):
+        if a != keep_axis:
+            sl[_spatial_axis(arr.ndim, mesh_ndim, a)] = slice(1, -1)
+    return arr[tuple(sl)]
