@@ -73,6 +73,21 @@ class Extrapolated(BC):
     """Linear extrapolation from the two interior layers (outflow-ish)."""
 
 
+@dataclasses.dataclass(frozen=True)
+class QGDFluxP(BC):
+    """qgdFlux pressure BC marker: the solver substitutes a FixedGradient
+    with dp/dn = -phiwStar/(tau_f*|Sf|) each step (reference
+    qgdFluxFvPatchScalarField_8C_source.html updateCoeffs, gradient at :192)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class QHDFluxP(BC):
+    """qhdFlux pressure BC marker: dp/dn = -phiwStar*rho_f/(tau_f*|Sf|)
+    (reference qhdFluxFvPatchScalarField_8C_source.html:193-203).  Also used
+    for the two-phase mixture variant mQhdFlux
+    (mQhdFluxFvPatchScalarField_8C_source.html)."""
+
+
 def noslip(ndim: int) -> FixedValue:
     return FixedValue(jnp.zeros((ndim,)))
 

@@ -89,6 +89,12 @@ def interpolate(field, bcs: bcm.FieldBCs, mesh: Mesh, t=0.0, vector=False):
     Returns a face tuple; leading component axes of `field` pass through.
     """
     fp = ghost_pad(field, bcs, mesh, t=t, vector=vector)
+    return interp_from_padded(fp, mesh)
+
+
+def interp_from_padded(fp, mesh: Mesh):
+    """Face interpolation of an already ghost-padded array (pad once, reuse
+    for several operators — one HBM pass per primitive)."""
     out = []
     for a in range(mesh.ndim):
         fa = _interp_padded(fp, mesh, a)
@@ -117,6 +123,11 @@ def grad(field, bcs: bcm.FieldBCs, mesh: Mesh, scheme="full", t=0.0, vector=Fals
     reducedFaceNormalStencil).
     """
     fp = ghost_pad(field, bcs, mesh, t=t, vector=vector)
+    return grad_from_padded(fp, mesh, scheme=scheme)
+
+
+def grad_from_padded(fp, mesh: Mesh, scheme="full"):
+    """fvsc::grad of an already ghost-padded array (see `grad`)."""
     nd = mesh.ndim
     out = []
     for a in range(nd):
@@ -223,7 +234,22 @@ def laplacian_explicit(gamma_faces, field, bcs: bcm.FieldBCs, mesh: Mesh, t=0.0,
 def sn_grad(field, bcs: bcm.FieldBCs, mesh: Mesh, t=0.0, vector=False):
     """Face-normal gradient per axis (face tuple)."""
     fp = ghost_pad(field, bcs, mesh, t=t, vector=vector)
+    return sn_grad_from_padded(fp, mesh)
+
+
+def sn_grad_from_padded(fp, mesh: Mesh):
     return tuple(
         trim_other_axes(_sn_grad_padded(fp, mesh, a), mesh.ndim, a)
         for a in range(mesh.ndim)
     )
+
+
+def div_flux_cellvol(phi_faces, mesh: Mesh):
+    """Like div_flux but without the 1/V factor (raw face-sum)."""
+    nd = mesh.ndim
+    tot = None
+    for a, phi in enumerate(phi_faces):
+        ax = _ax(phi, nd, a)
+        d = _sl(phi, ax, slice(1, None)) - _sl(phi, ax, slice(0, -1))
+        tot = d if tot is None else tot + d
+    return tot

@@ -1,0 +1,160 @@
+"""Matrix-free linear solvers for the implicit steps.
+
+The reference delegates every `fvm::laplacian` solve (pressure Poisson
+QHDpEqn_8H_source.html:36-45, implicit diffusion QGDUEqn_8H_source.html:54-75)
+to OpenFOAM's distributed PCG/GAMG.  The TPU-native replacement is a
+matrix-free preconditioned conjugate gradient in `jax.lax.while_loop`: the
+matvec is the same fused stencil laplacian as the explicit operators, the
+whole Krylov loop stays on device (dot products lower to `psum` under
+sharding), and no sparse matrix is ever materialised.
+
+For singular pure-Neumann Poisson systems the nullspace (constants) is
+projected out of rhs and iterates — the analogue of OpenFOAM's
+`pEqn.setReference(pRefCell, ...)` (QHDpEqn_8H_source.html:43).
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.mesh import Mesh
+from ..core import bc as bcm
+from . import fvsc
+
+
+@dataclasses.dataclass(frozen=True)
+class CGResult:
+    x: tp.Any
+    iters: tp.Any
+    residual: tp.Any  # final |r| / normFactor
+
+
+def _dot(a, b):
+    return jnp.sum(a * b)
+
+
+def cg(matvec, b, x0, *, tol=1e-7, maxiter=1000, precond=None, project=None):
+    """Preconditioned conjugate gradient, fully on-device.
+
+    matvec : linear operator (must be symmetric positive (semi)definite)
+    precond: approximate inverse (e.g. Jacobi); identity if None
+    project: nullspace projector applied to b, x and residuals (for the
+             singular Neumann-Poisson case)
+    Convergence: |r|_2 <= tol * |b|_2 (plus iteration cap), computed without
+    host sync.
+    """
+    if project is not None:
+        b = project(b)
+        x0 = project(x0)
+    M = precond if precond is not None else (lambda r: r)
+
+    r0 = b - matvec(x0)
+    if project is not None:
+        r0 = project(r0)
+    z0 = M(r0)
+    norm_b = jnp.sqrt(_dot(b, b))
+    norm_b = jnp.where(norm_b > 0, norm_b, 1.0)
+
+    def cond(carry):
+        x, r, z, p_, rz, it = carry
+        return jnp.logical_and(jnp.sqrt(_dot(r, r)) > tol * norm_b, it < maxiter)
+
+    def body(carry):
+        x, r, z, p_, rz, it = carry
+        Ap = matvec(p_)
+        if project is not None:
+            Ap = project(Ap)
+        alpha = rz / jnp.maximum(_dot(p_, Ap), jnp.finfo(b.dtype).tiny)
+        x = x + alpha * p_
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / jnp.maximum(rz, jnp.finfo(b.dtype).tiny)
+        p_ = z + beta * p_
+        return (x, r, z, p_, rz_new, it + 1)
+
+    init = (x0, r0, z0, z0, _dot(r0, z0), jnp.asarray(0))
+    x, r, _, _, _, it = jax.lax.while_loop(cond, body, init)
+    if project is not None:
+        x = project(x)
+    return CGResult(x=x, iters=it, residual=jnp.sqrt(_dot(r, r)) / norm_b)
+
+
+# ---------------------------------------------------------------------------
+# Helmholtz / Poisson assembly helpers (the fvm::laplacian replacements)
+# ---------------------------------------------------------------------------
+
+
+def helmholtz_affine(x, *, diag_coeff, gamma_faces, bcs, mesh: Mesh, t=0.0,
+                     vector=False):
+    """Affine operator A(x) = diag_coeff*x - laplacian(Gamma_f, x) with BCs.
+
+    This is the discretization of `fvm::Sp(diag) - fvm::laplacian(Gamma, x)`
+    used by every implicit step in the reference solver family.
+    """
+    lap = fvsc.laplacian_explicit(gamma_faces, x, bcs, mesh, t=t, vector=vector)
+    return diag_coeff * x - lap
+
+
+def helmholtz_diag(*, diag_coeff, gamma_faces, mesh: Mesh):
+    """Jacobi diagonal of the Helmholtz operator on a rectilinear mesh:
+    diag + sum_f Gamma_f*|S_f| / (d_cc * V)."""
+    nd = mesh.ndim
+    vol = mesh.cell_volume
+    tot = 0.0
+    for a in range(nd):
+        g = gamma_faces[a] * mesh.face_area(a)
+        d = mesh.bcast(mesh.d_centers[a], a)
+        w = g / d
+        sl_lo = [slice(None)] * w.ndim
+        sl_lo[w.ndim - nd + a] = slice(0, -1)
+        sl_hi = [slice(None)] * w.ndim
+        sl_hi[w.ndim - nd + a] = slice(1, None)
+        tot = tot + w[tuple(sl_lo)] + w[tuple(sl_hi)]
+    return diag_coeff + tot / vol
+
+
+def solve_helmholtz(*, diag_coeff, gamma_faces, rhs, x0, bcs, mesh: Mesh,
+                    t=0.0, vector=False, tol=1e-7, maxiter=1000,
+                    singular=False):
+    """Solve diag*x - lap(Gamma_f, x) = rhs under `bcs`.
+
+    The affine BC contribution is split off (homogeneous-BC linear part feeds
+    CG; A(0) moves to the rhs) so arbitrary FixedValue/FixedGradient BCs work
+    with a symmetric matvec.  `singular=True` enables mean-projection for the
+    pure-Neumann pressure equation (OpenFOAM pRefCell equivalent — the
+    returned field has zero mean; callers re-add their reference level, as
+    QHDFoam does at QHDFoam_8C_source.html:123-131).
+    """
+    bcs_h = bcs.map(bcm.homogeneous)
+    aff = partial(
+        helmholtz_affine, diag_coeff=diag_coeff, gamma_faces=gamma_faces,
+        mesh=mesh, t=t, vector=vector,
+    )
+    a0 = aff(jnp.zeros_like(rhs), bcs=bcs)
+
+    def matvec(x):
+        return aff(x, bcs=bcs_h)
+
+    b = rhs - a0
+
+    diag = helmholtz_diag(diag_coeff=diag_coeff, gamma_faces=gamma_faces, mesh=mesh)
+    diag = jnp.broadcast_to(diag, rhs.shape)
+
+    def precond(r):
+        return r / diag
+
+    project = None
+    if singular:
+        vol = jnp.broadcast_to(mesh.cell_volume, mesh.shape)
+        vtot = jnp.sum(vol)
+
+        def project(f):  # noqa: F811 — volume-weighted mean removal
+            return f - jnp.sum(f * vol) / vtot
+
+    return cg(matvec, b, x0, tol=tol, maxiter=maxiter, precond=precond,
+              project=project)

@@ -1,0 +1,303 @@
+"""tau-regularization coefficient models (the reference QGDCoeffs layer).
+
+Re-design of reference QGD/QGDCoeffs/ (QGDCoeffs_8C_source.html:58-375 base;
+constScPrModel1_8C_source.html correct(); HbyUQHD_8C / H2bynuQHD_8C /
+T0byGr_8C / constTau_8C; varScModel5/6/7 shock sensors).  A model is a frozen
+dataclass; `correct()` is a pure function from the current thermo state to a
+`Coeffs` pytree — no mutable registered fields, the relaxation state of
+varScModel5 (its ScQGD low-pass) is threaded through the solver state
+explicitly.
+
+Conventions: cell fields (..., spatial); face fields are per-axis tuples.
+tau_f is interpolated exactly as the reference does per model (e.g. model1
+interpolates a/c then multiplies by h_f, constScPrModel1_8C:103-104).
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import jax.numpy as jnp
+
+from ..core.mesh import Mesh
+from ..core import bc as bcm
+from ..core.registry import register
+from ..ops import fvsc
+
+
+def _zg(ndim):
+    return bcm.FieldBCs.uniform(bcm.ZeroGradient(), ndim)
+
+
+def _interp_zg(field, mesh):
+    """OpenFOAM linearInterpolate of a coefficient field (zero-gradient
+    extrapolation at uncoupled boundaries, like `calculated` patches)."""
+    return fvsc.interpolate(field, _zg(mesh.ndim), mesh)
+
+
+@dataclasses.dataclass(frozen=True)
+class Coeffs:
+    """Per-step regularization coefficients (pytree).
+
+    Mirrors the fields owned by the reference QGDCoeffs base
+    (QGDCoeffs_8H_source.html:62-176): tauQGD, tauQGDf, muQGD, alphauQGD,
+    ScQGD diagnostic.
+    """
+
+    tau: tp.Any  # cell tau
+    tau_f: tp.Any  # per-axis face tau tuple
+    mu_qgd: tp.Any  # cell QGD viscosity add-in
+    alphau_qgd: tp.Any  # cell QGD thermal-diffusivity add-in
+    sc: tp.Any  # ScQGD field (carried state for varScModel5)
+
+
+def _finish(mesh, tau, tau_f, p, sc, pr):
+    """muQGD = p*Sc*tau, alphauQGD = muQGD/Pr
+    (reference constScPrModel1_8C_source.html:106-115)."""
+    mu_qgd = p * sc * tau
+    return Coeffs(tau=tau, tau_f=tau_f, mu_qgd=mu_qgd, alphau_qgd=mu_qgd / pr, sc=sc)
+
+
+class TauModel:
+    """Base marker. Subclasses implement correct(mesh, **state) -> Coeffs."""
+
+    # alphaQGD in the reference: dict/field alpha, default 0.5
+    # (QGDCoeffs_8C_source.html:119-160)
+
+
+@register("tau", "constScPrModel1")
+@dataclasses.dataclass(frozen=True)
+class ConstScPrModel1(TauModel):
+    """Compressible default: tau = alpha*h/c; tau_f = interp(alpha/c)*h_f;
+    muQGD = p*Sc*tau; alphauQGD = muQGD/Pr
+    (reference constScPrModel1_8C_source.html:97-131)."""
+
+    alpha: float = 0.5
+    Sc: float = 1.0
+    Pr: float = 1.0
+
+    def correct(self, mesh: Mesh, *, c, p, sc_field=None, **_):
+        tau = self.alpha * mesh.h_cell / c
+        aoc_f = _interp_zg(self.alpha / c, mesh)
+        tau_f = tuple(aoc_f[a] * mesh.h_face(a) for a in range(mesh.ndim))
+        sc = jnp.full_like(tau, self.Sc) if sc_field is None else sc_field
+        return _finish(mesh, tau, tau_f, p, sc, self.Pr)
+
+
+@register("tau", "constScPrModel1n")
+@dataclasses.dataclass(frozen=True)
+class ConstScPrModel1n(ConstScPrModel1):
+    """Variant reading a per-cell ScQGD field if present (reference
+    constScPrModel1n_8C_source.html:68-105): pass sc_field= to correct()."""
+
+
+@register("tau", "constScPrModel2")
+@dataclasses.dataclass(frozen=True)
+class ConstScPrModel2(ConstScPrModel1):
+    """Same tau as model1 with fixed Sc/Pr handling (reference
+    constScPrModel2_8C_source.html:83)."""
+
+
+@register("tau", "constTau")
+@dataclasses.dataclass(frozen=True)
+class ConstTau(TauModel):
+    """tau = const from config; Sc=0, Pr=1 => muQGD = alphauQGD = 0
+    (reference constTau_8C_source.html:48-75)."""
+
+    tau0: float = 0.0
+
+    def correct(self, mesh: Mesh, *, p=None, ref=None, **_):
+        ref = ref if ref is not None else p
+        tau = jnp.full(mesh.shape, self.tau0, dtype=ref.dtype)
+        tau_f = tuple(
+            jnp.full(mesh.face_shape(a), self.tau0, dtype=ref.dtype)
+            for a in range(mesh.ndim)
+        )
+        z = jnp.zeros(mesh.shape, dtype=ref.dtype)
+        return Coeffs(tau=tau, tau_f=tau_f, mu_qgd=z, alphau_qgd=z, sc=z)
+
+
+@register("tau", "HbyUQHD")
+@dataclasses.dataclass(frozen=True)
+class HbyUQHD(TauModel):
+    """QHD: tau = alpha*h/U0, tau_f = interp(tau)
+    (reference HbyUQHD_8C_source.html:80-84)."""
+
+    alpha: float = 0.5
+    U0: float = 1.0
+
+    def correct(self, mesh: Mesh, *, p=None, T=None, ref=None, **_):
+        ref = ref if ref is not None else (p if p is not None else T)
+        tau = jnp.broadcast_to(self.alpha * mesh.h_cell / self.U0, mesh.shape).astype(
+            ref.dtype
+        )
+        tau_f = _interp_zg(tau, mesh)
+        z = jnp.zeros(mesh.shape, dtype=ref.dtype)
+        return Coeffs(tau=tau, tau_f=tau_f, mu_qgd=z, alphau_qgd=z, sc=z)
+
+
+@register("tau", "H2bynuQHD")
+@dataclasses.dataclass(frozen=True)
+class H2bynuQHD(TauModel):
+    """QHD: tau = alpha*h^2/nu, nu = mu/rho
+    (reference H2bynuQHD_8C_source.html:78-83)."""
+
+    alpha: float = 0.5
+
+    def correct(self, mesh: Mesh, *, mu, rho, **_):
+        nu = mu / rho
+        tau = self.alpha * jnp.square(mesh.h_cell) / nu
+        tau_f = _interp_zg(tau, mesh)
+        z = jnp.zeros_like(tau)
+        return Coeffs(tau=tau, tau_f=tau_f, mu_qgd=z, alphau_qgd=z, sc=z)
+
+
+@register("tau", "T0byGr")
+@dataclasses.dataclass(frozen=True)
+class T0byGr(TauModel):
+    """QHD: tau = T0/Gr const (reference T0byGr_8C_source.html:84-88)."""
+
+    T0: float = 1.0
+    Gr: float = 1.0
+
+    def correct(self, mesh: Mesh, *, p=None, T=None, ref=None, **_):
+        ref = ref if ref is not None else (p if p is not None else T)
+        tau0 = self.T0 / self.Gr
+        tau = jnp.full(mesh.shape, tau0, dtype=ref.dtype)
+        tau_f = tuple(
+            jnp.full(mesh.face_shape(a), tau0, dtype=ref.dtype)
+            for a in range(mesh.ndim)
+        )
+        z = jnp.zeros(mesh.shape, dtype=ref.dtype)
+        return Coeffs(tau=tau, tau_f=tau_f, mu_qgd=z, alphau_qgd=z, sc=z)
+
+
+# ---------------------------------------------------------------------------
+# shock-sensor variable-Sc models
+# ---------------------------------------------------------------------------
+
+
+def _smooth_max(field, coeff, sweeps=3):
+    """fvc::smooth analogue: raise each cell to at least coeff*max(neighbour)
+    for a few sweeps (reference varScModel5 uses fvc::smooth to spread the
+    sensor, varScModel5_8C_source.html:232)."""
+    nd = field.ndim
+    for _ in range(sweeps):
+        nb = field
+        for a in range(nd):
+            lo = jnp.concatenate(
+                [jnp.take(field, jnp.asarray([0]), axis=a), field], axis=a
+            )
+            hi = jnp.concatenate(
+                [field, jnp.take(field, jnp.asarray([-1]), axis=a)], axis=a
+            )
+            sl_lo = [slice(None)] * nd
+            sl_lo[a] = slice(0, -1)
+            sl_hi = [slice(None)] * nd
+            sl_hi[a] = slice(1, None)
+            nb = jnp.maximum(nb, jnp.maximum(lo[tuple(sl_hi)], hi[tuple(sl_lo)]))
+        field = jnp.maximum(field, coeff * nb)
+    return field
+
+
+@register("tau", "varScModel5")
+@dataclasses.dataclass(frozen=True)
+class VarScModel5(TauModel):
+    """Relaxed density-gradient shock sensor (reference
+    varScModel5_8C_source.html:198-269):
+      Sc <- rC*(|grad rho|*h/rho) + (1-rC)*Sc_prev, clamp [minSc,maxSc],
+      floor cqSc, fvc::smooth, then muQGD = p*Sc*tau as model1.
+    Note the reference interpolates a and c separately for tau_f here
+    (interp(a)/interp(c)*h_f, :204-205)."""
+
+    alpha: float = 0.5
+    Pr: float = 1.0
+    rC: float = 0.1
+    minSc: float = 0.0
+    maxSc: float = 2.0
+    cqSc: float = 0.0
+    smoothCoeff: float = 0.5
+
+    def correct(self, mesh: Mesh, *, c, p, rho, sc_prev, **_):
+        tau = self.alpha * mesh.h_cell / c
+        c_f = _interp_zg(c, mesh)
+        tau_f = tuple(self.alpha / c_f[a] * mesh.h_face(a) for a in range(mesh.ndim))
+        grad_rho = fvsc.grad_cell(rho, _zg(mesh.ndim), mesh)
+        mag_grad = jnp.sqrt(jnp.sum(jnp.square(grad_rho), axis=0))
+        sc = self.rC * (mag_grad * mesh.h_cell / rho) + (1.0 - self.rC) * sc_prev
+        sc = jnp.clip(sc, self.minSc, self.maxSc)
+        sc = jnp.maximum(sc, self.cqSc)
+        sc = _smooth_max(sc, self.smoothCoeff)
+        return _finish(mesh, tau, tau_f, p, sc, self.Pr)
+
+
+def _pressure_jump_sensor(mesh: Mesh, p):
+    """Per-cell |sum_faces +-(p_nei - p_own)| / mean(p_f) — the varScModel6/7
+    sensor (varScModel6_8C_source.html:215-268).  On a structured mesh the
+    signed internal sum telescopes to the 1-D second difference per axis;
+    uncoupled boundary faces contribute (p_face - p_cell) = half the mirrored
+    ghost delta, with positive sign (reference adds dpf at boundaries)."""
+    nd = mesh.ndim
+    pp = p
+    # mirrored ghost pad (zero-gradient would zero the boundary term; the
+    # reference uses the actual boundary snGrad — with calculated/zeroGrad p
+    # patches that is 0, with fixedValue it is (p_b - p_c); we use the
+    # zero-gradient convention: boundary dp = 0)
+    total = jnp.zeros_like(p)
+    sum_pf = jnp.zeros_like(p)
+    for a in range(nd):
+        pad_lo = jnp.take(pp, jnp.asarray([0]), axis=a)
+        pad_hi = jnp.take(pp, jnp.asarray([-1]), axis=a)
+        pe = jnp.concatenate([pad_lo, pp, pad_hi], axis=a)
+        dp = jnp.diff(pe, axis=a)  # faces along a, boundary deltas = 0
+        sl_lo = [slice(None)] * nd
+        sl_lo[a] = slice(0, -1)
+        sl_hi = [slice(None)] * nd
+        sl_hi[a] = slice(1, None)
+        total = total + dp[tuple(sl_hi)] - dp[tuple(sl_lo)]
+        pf = 0.5 * (pe[tuple([slice(None)] * a + [slice(0, -1)])] +
+                    pe[tuple([slice(None)] * a + [slice(1, None)])])
+        sum_pf = sum_pf + pf[tuple(sl_lo)] + pf[tuple(sl_hi)]
+    mean_pf = sum_pf / (2.0 * nd)
+    return jnp.abs(total) / mean_pf
+
+
+@register("tau", "varScModel6")
+@dataclasses.dataclass(frozen=True)
+class VarScModel6(TauModel):
+    """Pressure-jump sensor: Sc = |sum +-dp_f|/mean(p_f)
+    (reference varScModel6_8C_source.html:201-269)."""
+
+    alpha: float = 0.5
+    Pr: float = 1.0
+
+    def correct(self, mesh: Mesh, *, c, p, **_):
+        tau = self.alpha * mesh.h_cell / c
+        aoc_f = _interp_zg(self.alpha / c, mesh)
+        tau_f = tuple(aoc_f[a] * mesh.h_face(a) for a in range(mesh.ndim))
+        sc = _pressure_jump_sensor(mesh, p)
+        return _finish(mesh, tau, tau_f, p, sc, self.Pr)
+
+
+@register("tau", "varScModel7")
+@dataclasses.dataclass(frozen=True)
+class VarScModel7(TauModel):
+    """varScModel6 with coefficient cSc1 and optional clamps
+    (reference varScModel7_8C_source.html:167-243)."""
+
+    alpha: float = 0.5
+    Pr: float = 1.0
+    cSc1: float = 1.0
+    minSc: float = -1.0  # < 0 disables, as the reference
+    maxSc: float = -1.0
+
+    def correct(self, mesh: Mesh, *, c, p, **_):
+        tau = self.alpha * mesh.h_cell / c
+        aoc_f = _interp_zg(self.alpha / c, mesh)
+        tau_f = tuple(aoc_f[a] * mesh.h_face(a) for a in range(mesh.ndim))
+        sc = self.cSc1 * _pressure_jump_sensor(mesh, p)
+        if self.minSc >= 0:
+            sc = jnp.maximum(sc, self.minSc)
+        if self.maxSc >= 0:
+            sc = jnp.minimum(sc, self.maxSc)
+        return _finish(mesh, tau, tau_f, p, sc, self.Pr)

@@ -1,0 +1,311 @@
+"""QGDFoam — compressible all-Mach viscous perfect-gas QGD solver (flagship).
+
+Re-design of reference QGDsolver/QGDFoam (QGDFoam_8C_source.html:68-163).
+Per step:
+  updateFields.H  (QGDFoam_2updateFields_8H:45-80): interpolate
+    rho,U,rhoU,U*rhoU,p,c,gamma,Cp,H=(rhoE+p)/rho, muEff, alphaEff to faces
+  updateFluxes.H  (QGDFoam_2updateFluxes_8H:41-139):
+    gradUf/gradef/gradRhof/gradPf = fvsc::grad;  divUf = tr(gradUf)
+    rhoW  = tau_f*((Uf.gradRhof)Uf + rhoUf*divUf + (rhoUf.grad)Uf)
+    phiwStar = Sf&rhoW;  rhoW += tau_f*gradPf;  jm = rhoUf - rhoW
+    Pif   = tau_f*((UrhoUf.gradUf) + Uf*gradPf
+                   + I((Uf.gradPf) + gammaf*pf*divUf)) [+ NS stress if expl.]
+    qf    = -tau_f*(UrhoUf.(gradef - (pf/rhof^2) gradRhof)) [- alphau_f gradef]
+  QGDCourantNo.H + setDeltaT (acoustic CFL + cTau cap)
+  QGDRhoEqn.H : ddt(rho)  + div(phiJm) = rhoSu          (explicit)
+  QGDUEqn.H   : ddt(rhoU) + div(phiJm*Uf + Sf*pf - Sf&Pif) = 0; U = rhoU/rho;
+                implicitDiffusion: solve rho/dt(U-U*) - lap(muEff_f,U)
+                = div(phiTauMC) + rhoUSu, phiTauMC = Sf&interp(muEff*
+                dev2(grad(U)^T));  sigmaDotU for the energy eqn
+  QGDEEqn.H   : ddt(rhoE) + div(phiJm*Hf + phiQ - Sf&(Pif&Uf)
+                - phiSigmaDotU) = 0; e = rhoE/rho - |U|^2/2;
+                implicitDiffusion: rho/dt(e-e*) - lap(alphaEff_f,e) = rhoESu
+  closure     : p = rho/psi (QGDFoam_8C:149-156)
+
+Primitive ghosts are derived thermodynamically from the p/T/U boundary
+conditions (rho_ghost = p_ghost*psi(T_ghost) etc.), matching OpenFOAM's
+calculated rho/e patches; each primitive is ghost-padded once and reused by
+all four fvsc gradients — one HBM pass per primitive.
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+from ..core.mesh import Mesh
+from ..core import bc as bcm
+from ..ops import fvsc, linsolve
+from ..ops.pad import ghost_pad
+from ..physics.thermo import PerfectGasThermo
+from ..physics.qgdcoeffs import TauModel, ConstScPrModel1, VarScModel5
+from . import common
+from .common import TimeControls
+
+
+class State(tp.NamedTuple):
+    rho: jax.Array
+    rhoU: jax.Array  # (d, *cells)
+    rhoE: jax.Array
+    sc: jax.Array  # ScQGD carried state (varScModel5 relaxation)
+    t: jax.Array
+    dt: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class QGDFoam:
+    mesh: Mesh
+    thermo: PerfectGasThermo
+    tau_model: TauModel = ConstScPrModel1()
+    bc_U: tp.Optional[bcm.FieldBCs] = None
+    bc_p: tp.Optional[bcm.FieldBCs] = None
+    bc_T: tp.Optional[bcm.FieldBCs] = None
+    time: TimeControls = TimeControls()
+    implicit_diffusion: bool = False
+    cg_tol: float = 1e-8
+    cg_maxiter: int = 500
+    fvsc_scheme: str = "full"
+
+    def _bcs(self):
+        nd = self.mesh.ndim
+        bu = self.bc_U or bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
+        bp = self.bc_p or bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
+        bt = self.bc_T or bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
+        return bu, bp, bt
+
+    def init(self, p0, T0, U0, t0=0.0, sc0=None) -> State:
+        th = self.thermo
+        p0, T0, U0 = jnp.asarray(p0), jnp.asarray(T0), jnp.asarray(U0)
+        rho = th.rho_from_p_T(p0, T0)
+        e = th.e_from_T(T0)
+        rhoU = rho[None] * U0
+        rhoE = rho * e + 0.5 * rho * jnp.sum(U0 * U0, axis=0)
+        sc = jnp.zeros_like(rho) if sc0 is None else jnp.asarray(sc0)
+        dt = jnp.asarray(self.time.dt0, dtype=rho.dtype)
+        return State(rho=rho, rhoU=rhoU, rhoE=rhoE, sc=sc,
+                     t=jnp.asarray(t0, dtype=rho.dtype), dt=dt)
+
+    # -- primitive reconstruction ------------------------------------------
+    def primitives(self, s: State):
+        th = self.thermo
+        U = s.rhoU / s.rho[None]
+        e = s.rhoE / s.rho - 0.5 * jnp.sum(U * U, axis=0)
+        T = th.T_from_e(e)
+        p = th.p_from_rho_T(s.rho, T)
+        return U, e, T, p
+
+    def make_step(self):
+        mesh = self.mesh
+        nd = mesh.ndim
+        th = self.thermo
+        bc_U, bc_p0, bc_T = self._bcs()
+        tc = self.time
+        scheme = self.fvsc_scheme
+        bc_zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
+        gamma = th.gamma
+        area = tuple(mesh.face_area(a) for a in range(nd))
+        eye = jnp.eye(nd).reshape((nd, nd) + (1,) * nd)
+
+        # e-BCs derived from T-BCs: e_wall = Cv*T_wall (sensibleInternalEnergy)
+        def t2e(b):
+            if isinstance(b, bcm.FixedValue) and not callable(b.value):
+                return bcm.FixedValue(th.Cv * jnp.asarray(b.value))
+            if isinstance(b, bcm.FixedValue):
+                return bcm.FixedValue(lambda t_, c_: th.Cv * b.value(t_, c_))
+            return b
+
+        bc_e = bc_T.map(t2e)
+
+        def step(s: State) -> State:
+            rho, rhoU, rhoE, sc_prev, t, dt = s
+            U, e, T, p = self.primitives(s)
+            c = th.c(T)
+            mu_mol = th.mu(p, T)
+            alphau_mol = th.alphah(p, T)
+
+            # --- thermo.correct(): tau coefficients + effective transport
+            coeffs = self.tau_model.correct(
+                mesh, c=c, p=p, rho=rho, sc_prev=sc_prev, mu=mu_mol
+            )
+            tau_f = coeffs.tau_f
+            mu_eff = mu_mol + coeffs.mu_qgd
+            alphau_eff = alphau_mol + coeffs.alphau_qgd
+
+            # --- qgdFlux p BC needs phiwStar: substitute after flux assembly;
+            # gradients here use the previous-step convention (zero-order) —
+            # build padded primitives with the *configured* BCs first.
+            p_pad = ghost_pad(p, bc_p0, mesh, t=t)
+            T_pad = ghost_pad(T, bc_T, mesh, t=t)
+            U_pad = ghost_pad(U, bc_U, mesh, t=t, vector=True)
+            # thermodynamically-consistent derived ghosts
+            rho_pad = th.rho_from_p_T(p_pad, T_pad)
+            e_pad = th.e_from_T(T_pad)
+            rhoU_pad = rho_pad[None] * U_pad
+            rhoE_pad = rho_pad * e_pad + 0.5 * rho_pad * jnp.sum(U_pad * U_pad, axis=0)
+            H_pad = (rhoE_pad + p_pad) / rho_pad
+            c_pad = th.c(T_pad)
+            UrhoU_pad = U_pad[:, None] * rhoU_pad[None, :]  # (i,j,cells+2)
+
+            # --- updateFields.H: face interpolations
+            rhof = fvsc.interp_from_padded(rho_pad, mesh)
+            Uf = fvsc.interp_from_padded(U_pad, mesh)
+            rhoUf = fvsc.interp_from_padded(rhoU_pad, mesh)
+            UrhoUf = fvsc.interp_from_padded(UrhoU_pad, mesh)
+            pf = fvsc.interp_from_padded(p_pad, mesh)
+            cf = fvsc.interp_from_padded(c_pad, mesh)
+            Hf = fvsc.interp_from_padded(H_pad, mesh)
+            muf = fvsc.interpolate(mu_eff, bc_zg, mesh)
+            alphauf = fvsc.interpolate(alphau_eff, bc_zg, mesh)
+
+            # --- updateFluxes.H: fvsc gradients (the 4 hot stencil ops)
+            gradUf = fvsc.grad_from_padded(U_pad, mesh, scheme=scheme)
+            gradef = fvsc.grad_from_padded(e_pad, mesh, scheme=scheme)
+            gradRhof = fvsc.grad_from_padded(rho_pad, mesh, scheme=scheme)
+            gradPf = fvsc.grad_from_padded(p_pad, mesh, scheme=scheme)
+
+            phiJm = [None] * nd
+            phiJmU = [None] * nd
+            phiP = [None] * nd
+            phiPi = [None] * nd
+            phiJmH = [None] * nd
+            phiQ = [None] * nd
+            phiPiU = [None] * nd
+            phiwStar = [None] * nd
+
+            for a in range(nd):
+                gU = gradUf[a]  # (i,j,faces)
+                divU = sum(gU[i, i] for i in range(nd))
+                u_gradrho = jnp.sum(Uf[a] * gradRhof[a], axis=0)
+                rhoU_gradU = jnp.einsum("i...,ij...->j...", rhoUf[a], gU)
+                rhoW = tau_f[a] * (
+                    u_gradrho * Uf[a] + rhoUf[a] * divU + rhoU_gradU
+                )
+                phiwStar[a] = rhoW[a] * area[a]
+                rhoW = rhoW + tau_f[a] * gradPf[a]
+                jm = rhoUf[a] - rhoW
+                phiJm[a] = jm[a] * area[a]
+
+                # momentum fluxes
+                phiJmU[a] = phiJm[a] * Uf[a]
+                phiP[a] = area[a] * pf[a]  # vector: normal component only
+                u_gradp = jnp.sum(Uf[a] * gradPf[a], axis=0)
+                Pif = tau_f[a] * (
+                    jnp.einsum("ik...,kj...->ij...", UrhoUf[a], gU)
+                    + Uf[a][:, None] * gradPf[a][None, :]
+                    + eye_f(eye, a) * (u_gradp + gamma * pf[a] * divU)
+                )
+                if not self.implicit_diffusion:
+                    Pif = Pif + muf[a] * (
+                        gU + jnp.swapaxes(gU, 0, 1) - (2.0 / 3.0) * eye_f(eye, a) * divU
+                    )
+                phiPi[a] = area[a] * Pif[a]
+
+                # energy fluxes
+                phiJmH[a] = phiJm[a] * Hf[a]
+                qf = -tau_f[a] * jnp.einsum(
+                    "ik...,k...->i...",
+                    UrhoUf[a],
+                    gradef[a] - (pf[a] / rhof[a] ** 2) * gradRhof[a],
+                )
+                if not self.implicit_diffusion:
+                    qf = qf - alphauf[a] * gradef[a]
+                phiQ[a] = qf[a] * area[a]
+                phiPiU[a] = area[a] * jnp.sum(Pif[a] * Uf[a], axis=0)
+
+            # --- Courant + setDeltaT (acoustic)
+            co = common.courant_acoustic(Uf, cf, dt, mesh)
+            dt_new = common.set_delta_t(dt, co, common.tau_f_min(tau_f), tc)
+
+            # --- QGDRhoEqn.H (explicit)
+            rho_new = rho - dt_new * fvsc.div_flux(tuple(phiJm), mesh)
+
+            # --- QGDUEqn.H
+            mom_flux = tuple(phiJmU[a] + eye_vec(phiP[a], a, nd) - phiPi[a]
+                             for a in range(nd))
+            rhoU_new = rhoU - dt_new * fvsc.div_flux(mom_flux, mesh)
+            U_new = rhoU_new / rho_new[None]
+
+            phiSigmaDotU = tuple(jnp.zeros_like(phiJm[a]) for a in range(nd))
+            if self.implicit_diffusion:
+                # tauMC = muEff*dev2(grad(U)^T); phiTauMC = Sf & interp(tauMC)
+                gradU_cell = fvsc.grad_cell_vector(U, bc_U, mesh, t=t)
+                tauMC = mu_eff * dev2T(gradU_cell, nd)
+                tauMC_f = fvsc.interpolate(
+                    tauMC.reshape((nd * nd,) + mesh.shape), bc_zg, mesh
+                )
+                phiTauMC = tuple(
+                    area[a] * tauMC_f[a].reshape((nd, nd) + mesh.face_shape(a))[a]
+                    for a in range(nd)
+                )
+                rhs_U = (
+                    rho_new * U_new / dt_new
+                    + fvsc.div_flux(phiTauMC, mesh)
+                )
+                resU = linsolve.solve_helmholtz(
+                    diag_coeff=rho_new / dt_new, gamma_faces=muf, rhs=rhs_U,
+                    x0=U_new, bcs=bc_U, mesh=mesh, t=t, vector=True,
+                    tol=self.cg_tol, maxiter=self.cg_maxiter,
+                )
+                U_new = resU.x
+                rhoU_new = rho_new[None] * U_new
+                # sigmaDotU = (muf*interp(grad U) + tauMC_f) & Uf
+                gradU_lin_f = fvsc.interpolate(
+                    gradU_cell.reshape((nd * nd,) + mesh.shape), bc_zg, mesh
+                )
+                phiSigmaDotU = tuple(
+                    area[a]
+                    * jnp.sum(
+                        (
+                            muf[a]
+                            * gradU_lin_f[a].reshape((nd, nd) + mesh.face_shape(a))
+                            + tauMC_f[a].reshape((nd, nd) + mesh.face_shape(a))
+                        )[a]
+                        * Uf[a],
+                        axis=0,
+                    )
+                    for a in range(nd)
+                )
+
+            # --- QGDEEqn.H
+            e_flux = tuple(phiJmH[a] + phiQ[a] - phiPiU[a] - phiSigmaDotU[a]
+                           for a in range(nd))
+            rhoE_new = rhoE - dt_new * fvsc.div_flux(e_flux, mesh)
+            e_new = rhoE_new / rho_new - 0.5 * jnp.sum(U_new * U_new, axis=0)
+            if self.implicit_diffusion:
+                rhs_e = rho_new * e_new / dt_new
+                resE = linsolve.solve_helmholtz(
+                    diag_coeff=rho_new / dt_new, gamma_faces=alphauf, rhs=rhs_e,
+                    x0=e_new, bcs=bc_e, mesh=mesh, t=t,
+                    tol=self.cg_tol, maxiter=self.cg_maxiter,
+                )
+                e_new = resE.x
+                rhoE_new = rho_new * (e_new + 0.5 * jnp.sum(U_new * U_new, axis=0))
+
+            return State(rho=rho_new, rhoU=rhoU_new, rhoE=rhoE_new,
+                         sc=coeffs.sc, t=t + dt_new, dt=dt_new)
+
+        return step
+
+
+def eye_f(eye, a):
+    """Identity tensor broadcastable over a-face fields: (i,j,1,..)."""
+    return eye
+
+
+def eye_vec(phiP_a, a, nd):
+    """Embed the scalar normal-pressure flux as the a-component of a vector
+    face flux (Sf * pf has only the normal component on a brick mesh)."""
+    comps = [jnp.zeros_like(phiP_a) for _ in range(nd)]
+    comps[a] = phiP_a
+    return jnp.stack(comps, axis=0)
+
+
+def dev2T(gradU_cell, nd):
+    """dev2(T^t) = T^t - (2/3) tr(T) I  for T = grad(U) (OpenFOAM dev2 of the
+    transposed gradient, used in tauMC — QGDFoam_2updateFluxes_8H:109)."""
+    gT = jnp.swapaxes(gradU_cell, 0, 1)
+    tr = sum(gradU_cell[i, i] for i in range(nd))
+    eye = jnp.eye(nd).reshape((nd, nd) + (1,) * (gradU_cell.ndim - 2))
+    return gT - (2.0 / 3.0) * eye * tr

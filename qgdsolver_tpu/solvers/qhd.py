@@ -1,0 +1,241 @@
+"""QHDFoam — incompressible quasi-hydrodynamic solver with Boussinesq buoyancy.
+
+Re-design of reference QGDsolver/QHDFoam (QHDFoam_8C_source.html:60-145):
+per step —
+  updateFields.H  : gradUf/gradTf (fvsc), interpolations, BdFrc = beta*T*g
+                    (QHDFoam_2updateFields_8H:36-73)
+  updateFluxes.H  : phiu = Sf&Uf; phiwo = Sf&(tau_f((Uf.grad)U - BdFrc)_f);
+                    taubyrhof = tau_f/rho_f (QHDFoam_2updateFluxes_8H:33-38)
+  QHDCourantNo.H + setDeltaT
+  QHDpEqn.H       : div(phiu) - div(phiwo) - laplacian(tau/rho, p) = 0;
+                    phi = phiu - phiwo + pEqn.flux()   (QHDpEqn_8H:33-48)
+  QHDUEqn.H       : Wf = tau_f((Uf.grad)U + gradPf/rho_f - BdFrcf);
+                    ddt(U) + div(phi*Uf - phiu*Wf) - lap(nu_f, U)
+                    - div(nu_f Sf.(gradU)^T_f) = -grad(p)/rho + BdFrc
+                    (QHDUEqn_8H:36-85)
+  QHDTEqn.H       : ddt(T) + div(phi*Tf) - lap(Hi_f, T)
+                    - div(tau_f*phiu*(Uf.gradTf)) = 0  (QHDTEqn_8H:64-95)
+  p reference fix (QHDFoam_8C:123-131)
+
+The Poisson solve and implicit diffusion use the matrix-free CG; the flux
+`phi` is assembled exactly like `pEqn.flux()` — the same face expression whose
+divergence the CG drove to zero — so div(phi) == 0 to solver tolerance.
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+from ..core.mesh import Mesh
+from ..core import bc as bcm
+from ..ops import fvsc, linsolve
+from ..ops.pad import ghost_pad
+from ..physics.thermo import RhoConstThermo
+from ..physics.qgdcoeffs import TauModel, HbyUQHD
+from . import common
+from .common import TimeControls
+
+
+class State(tp.NamedTuple):
+    U: jax.Array  # (d, *cells)
+    T: jax.Array
+    p: jax.Array
+    t: jax.Array
+    dt: jax.Array
+
+
+def _sub_flux_bc(bc_p, grads):
+    """Replace QHDFluxP/QGDFluxP markers with per-step FixedGradient arrays."""
+    out = bc_p
+    for (a, side), g in grads.items():
+        out = out.replace(a, side, bcm.FixedGradient(g))
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class QHDFoam:
+    mesh: Mesh
+    thermo: RhoConstThermo
+    tau_model: TauModel = HbyUQHD()
+    g: tp.Tuple[float, ...] = None  # gravity vector, len = ndim
+    bc_U: tp.Optional[bcm.FieldBCs] = None
+    bc_T: tp.Optional[bcm.FieldBCs] = None
+    bc_p: tp.Optional[bcm.FieldBCs] = None
+    time: TimeControls = TimeControls()
+    implicit_diffusion: bool = True
+    p_ref_value: float = 0.0
+    cg_tol: float = 1e-8
+    cg_maxiter: int = 1000
+    fvsc_scheme: str = "full"
+
+    def _bcs(self):
+        nd = self.mesh.ndim
+        bu = self.bc_U or bcm.FieldBCs.uniform(bcm.FixedValue(jnp.zeros(nd)), nd)
+        bt = self.bc_T or bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
+        bp = self.bc_p or bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
+        return bu, bt, bp
+
+    def _p_singular(self, bp) -> bool:
+        """Pure-Neumann p system? (needs reference fix, QHDFoam_8C:123)."""
+        for a in range(self.mesh.ndim):
+            for s in (0, 1):
+                if isinstance(bp[a, s], bcm.FixedValue):
+                    return False
+        return True
+
+    def init(self, U0, T0, p0=None, t0=0.0) -> State:
+        T0 = jnp.asarray(T0)
+        p0 = jnp.zeros_like(T0) if p0 is None else jnp.asarray(p0)
+        dt = jnp.asarray(self.time.dt0, dtype=T0.dtype)
+        return State(U=jnp.asarray(U0), T=T0, p=p0,
+                     t=jnp.asarray(t0, dtype=T0.dtype), dt=dt)
+
+    def make_step(self):
+        mesh = self.mesh
+        nd = mesh.ndim
+        bc_U, bc_T, bc_p0 = self._bcs()
+        thermo = self.thermo
+        tc = self.time
+        gvec = jnp.asarray(self.g if self.g is not None else (0.0,) * nd)
+        singular = self._p_singular(bc_p0)
+        bc_zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
+        scheme = self.fvsc_scheme
+
+        def step(s: State) -> State:
+            U, T, p, t, dt = s
+            rho = thermo.rho(p, T)
+            mu = thermo.mu(p, T)
+            alpha = thermo.alphah(p, T)
+
+            # ---- updateFields.H ------------------------------------------
+            gradUf = fvsc.grad(U, bc_U, mesh, scheme=scheme, t=t, vector=True)
+            gradTf = fvsc.grad(T, bc_T, mesh, scheme=scheme, t=t)
+            muf = fvsc.interpolate(mu, bc_zg, mesh)
+            alphaf = fvsc.interpolate(alpha, bc_zg, mesh)
+            rhof = fvsc.interpolate(rho, bc_zg, mesh)
+            Uf = fvsc.interpolate(U, bc_U, mesh, t=t, vector=True)
+            Tf = fvsc.interpolate(T, bc_T, mesh, t=t)
+            BdFrc = thermo.beta * T[None] * gvec.reshape((nd,) + (1,) * nd)
+            BdFrcf = fvsc.interpolate(BdFrc, bc_zg, mesh, vector=True)
+            Hif = tuple(alphaf[a] / rhof[a] for a in range(nd))
+
+            coeffs = self.tau_model.correct(mesh, p=p, T=T, ref=T, mu=mu, rho=rho)
+            tau_f = coeffs.tau_f
+
+            # ---- updateFluxes.H ------------------------------------------
+            # (Uf & gradUf)_a[j] = sum_i Uf_i dU_j/dx_i  at a-faces
+            u_dot_gradU = tuple(
+                jnp.einsum("i...,ij...->j...", Uf[a], gradUf[a]) for a in range(nd)
+            )
+            area = tuple(mesh.face_area(a) for a in range(nd))
+            phiu = tuple(Uf[a][a] * area[a] for a in range(nd))
+            wo = tuple(tau_f[a] * (u_dot_gradU[a] - BdFrcf[a]) for a in range(nd))
+            phiwo = tuple(wo[a][a] * area[a] for a in range(nd))
+            taubyrhof = tuple(tau_f[a] / rhof[a] for a in range(nd))
+
+            # ---- Courant + setDeltaT -------------------------------------
+            co = common.courant_advective(Uf, dt, mesh)
+            dt_new = common.set_delta_t(dt, co, common.tau_f_min(tau_f), tc)
+
+            # ---- QHDpEqn.H ----------------------------------------------
+            # qhdFlux p BC: dp/dn = -phiwStar*rho_f/(tau_f*|Sf|); here
+            # phiwStar = phiwo (velocity regularizer flux without grad p)
+            flux_grads = {}
+            for a in range(nd):
+                for side in (0, 1):
+                    if isinstance(bc_p0[a, side], bcm.QHDFluxP):
+                        idx = 0 if side == 0 else -1
+                        wn = jnp.take(wo[a][a], jnp.asarray([idx]), axis=a)
+                        rf = jnp.take(rhof[a], jnp.asarray([idx]), axis=a)
+                        tf = jnp.take(tau_f[a], jnp.asarray([idx]), axis=a)
+                        sign = -1.0 if side == 0 else 1.0
+                        # outward-normal gradient; wn/tau = phiwStar/(tau|Sf|)
+                        flux_grads[(a, side)] = -sign * wn * rf / tf
+            bc_p = _sub_flux_bc(bc_p0, flux_grads)
+
+            rhs_p = fvsc.div_flux(phiu, mesh) - fvsc.div_flux(phiwo, mesh)
+            res = linsolve.solve_helmholtz(
+                diag_coeff=0.0, gamma_faces=taubyrhof, rhs=-rhs_p, x0=p,
+                bcs=bc_p, mesh=mesh, t=t, tol=self.cg_tol,
+                maxiter=self.cg_maxiter, singular=singular,
+            )
+            p_new = res.x
+            if singular:
+                # reference-cell fix (QHDFoam_8C:123-131), cell (0,...,0)
+                p_new = p_new + (self.p_ref_value - p_new[(0,) * nd])
+
+            # phi = phiu - phiwo + pEqn.flux()  (QHDpEqn_8H:47)
+            snp = fvsc.sn_grad(p_new, bc_p, mesh, t=t)
+            phi = tuple(
+                phiu[a] - phiwo[a] - taubyrhof[a] * area[a] * snp[a]
+                for a in range(nd)
+            )
+
+            # ---- QHDUEqn.H ----------------------------------------------
+            gradPf = fvsc.grad(p_new, bc_p, mesh, scheme=scheme, t=t)
+            Wf = tuple(
+                tau_f[a] * (u_dot_gradU[a] + gradPf[a] / rhof[a] - BdFrcf[a])
+                for a in range(nd)
+            )
+            # phiUf = qgdFlux(phi,U,Uf) - Sf&(Uf*Wf) = phi*Uf - phiu*Wf
+            phiUf = tuple(phi[a] * Uf[a] - phiu[a] * Wf[a] for a in range(nd))
+            nuf = tuple(muf[a] / rhof[a] for a in range(nd))
+
+            # explicit transpose-stress: div(nu_f * Sf & interp(gradU^T))
+            gradU_cell = fvsc.grad_cell_vector(U, bc_U, mesh, t=t)  # (i,j,cells)
+            gradUT = jnp.swapaxes(gradU_cell, 0, 1)  # (j,i,...) -> rows=comp
+            gradUT_f = fvsc.interpolate(
+                gradUT.reshape((nd * nd,) + mesh.shape), bc_zg, mesh, vector=False
+            )
+            transp_flux = tuple(
+                nuf[a] * area[a]
+                * gradUT_f[a].reshape((nd, nd) + mesh.face_shape(a))[:, a]
+                for a in range(nd)
+            )
+            # (Sf & gradU^T)[j] = |Sf| * gradUT[j, a] where a = face normal
+
+            grad_p_cell = fvsc.grad_cell(p_new, bc_p, mesh, t=t)
+            rhs_U = (
+                U / dt_new
+                - fvsc.div_flux(phiUf, mesh)
+                + fvsc.div_flux(transp_flux, mesh)
+                - grad_p_cell / rho[None]
+                + BdFrc
+            )
+            if self.implicit_diffusion:
+                resU = linsolve.solve_helmholtz(
+                    diag_coeff=1.0 / dt_new, gamma_faces=nuf, rhs=rhs_U, x0=U,
+                    bcs=bc_U, mesh=mesh, t=t, vector=True,
+                    tol=self.cg_tol, maxiter=self.cg_maxiter,
+                )
+                U_new = resU.x
+            else:
+                lapU = fvsc.laplacian_explicit(nuf, U, bc_U, mesh, t=t, vector=True)
+                U_new = dt_new * (rhs_U + lapU)
+
+            # ---- QHDTEqn.H ----------------------------------------------
+            phiTf = tuple(phi[a] * Tf[a] for a in range(nd))
+            u_dot_gradT = tuple(jnp.sum(Uf[a] * gradTf[a], axis=0) for a in range(nd))
+            phiTauTReg = tuple(tau_f[a] * phiu[a] * u_dot_gradT[a] for a in range(nd))
+            rhs_T = (
+                T / dt_new
+                - fvsc.div_flux(phiTf, mesh)
+                + fvsc.div_flux(phiTauTReg, mesh)
+            )
+            if self.implicit_diffusion:
+                resT = linsolve.solve_helmholtz(
+                    diag_coeff=1.0 / dt_new, gamma_faces=Hif, rhs=rhs_T, x0=T,
+                    bcs=bc_T, mesh=mesh, t=t,
+                    tol=self.cg_tol, maxiter=self.cg_maxiter,
+                )
+                T_new = resT.x
+            else:
+                lapT = fvsc.laplacian_explicit(Hif, T, bc_T, mesh, t=t)
+                T_new = dt_new * (rhs_T + lapT)
+
+            return State(U=U_new, T=T_new, p=p_new, t=t + dt_new, dt=dt_new)
+
+        return step

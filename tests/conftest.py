@@ -17,4 +17,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The session exports JAX_PLATFORMS=axon (tunnelled TPU); the env var set
+# above can lose the race, so force the platform through the config API too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
