@@ -139,10 +139,13 @@ class Mesh:
 
     # -- broadcastable jnp geometry --------------------------------------------
     def bcast(self, arr_1d, axis: int):
-        """1-D array -> broadcastable jnp array along `axis` of a cell field."""
-        return jnp.asarray(
-            _reshape_axis(np.asarray(arr_1d), axis, self.ndim), dtype=self.dtype
-        )
+        """1-D array -> broadcastable numpy array along `axis` of a cell field.
+
+        Geometry is returned as NUMPY (not jnp): numpy operands are embedded
+        as constants at their jnp use sites, so nothing traced is ever cached
+        on the (long-lived) Mesh object — caching jnp arrays created inside a
+        jit trace leaks tracers under JAX's constant lifting."""
+        return _reshape_axis(np.asarray(arr_1d), axis, self.ndim).astype(self.dtype)
 
     @cached_property
     def cell_volume(self):
@@ -150,7 +153,7 @@ class Mesh:
         v = _reshape_axis(self.dx[0], 0, self.ndim)
         for a in range(1, self.ndim):
             v = v * _reshape_axis(self.dx[a], a, self.ndim)
-        return jnp.asarray(v, dtype=self.dtype)
+        return v.astype(self.dtype)
 
     def face_area(self, axis: int):
         """|S_f| for faces normal to `axis`, broadcastable to the face shape
@@ -159,7 +162,7 @@ class Mesh:
         for b in range(self.ndim):
             if b != axis:
                 a_ = a_ * _reshape_axis(self.dx[b], b, self.ndim)
-        return jnp.asarray(a_, dtype=self.dtype)
+        return a_.astype(self.dtype)
 
     def h_face(self, axis: int):
         """QGD face length scale h_f, broadcastable to axis-face fields."""
@@ -185,7 +188,7 @@ class Mesh:
                     area = area * _reshape_axis(self.dx[b], b, self.ndim)
             num = num + area * (h_lo + h_hi)
             den = den + 2.0 * area
-        return jnp.asarray(np.broadcast_to(num / den, self.shape), dtype=self.dtype)
+        return np.ascontiguousarray(np.broadcast_to(num / den, self.shape)).astype(self.dtype)
 
     @cached_property
     def ext_centers(self) -> tuple:
