@@ -1,0 +1,104 @@
+"""Canonical case configurations — the tutorial equivalents.
+
+The reference ships OpenFOAM tutorial cases as its validation/benchmark
+vehicle (README.md papers table; BASELINE.json configs).  These builders are
+their TPU-framework counterparts: each returns (solver, initial_state).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .core.mesh import Mesh
+from .core import bc as bcm
+from .physics.thermo import PerfectGasThermo, RhoConstThermo
+from .physics.qgdcoeffs import ConstScPrModel1, H2bynuQHD, HbyUQHD
+from .solvers import common
+from .solvers.qgd import QGDFoam
+from .solvers.qhd import QHDFoam
+from .solvers.scalar_transport import ScalarTransportQHD
+
+
+def supersonic_jet(shape=(512, 256), dtype=np.float32, mach=2.0,
+                   implicit_diffusion=False, fvsc_scheme="full"):
+    """QGDFoam supersonic-jet config (BASELINE.json config #3): a Mach-`mach`
+    air jet entering a quiescent domain through a slot in the left boundary.
+    """
+    nx, ny = shape
+    mesh = Mesh.uniform(shape, lengths=(4.0, 2.0), dtype=dtype)
+    th = PerfectGasThermo(R=287.0, Cp=1004.5)
+    p_inf, T_inf = 1.0e5, 300.0
+    u_jet = mach * float(th.c(jnp.asarray(T_inf)))
+
+    y = np.asarray(mesh.centers[1])
+    jet_mask = (np.abs(y - 1.0) < 0.15).astype(dtype)  # slot |y-1| < 0.15
+
+    def inlet_u(t, coords):
+        yy = coords[1]
+        prof = jnp.where(jnp.abs(yy - 1.0) < 0.15, u_jet, 0.0)
+        ux = prof * jnp.ones_like(yy)
+        return jnp.stack(jnp.broadcast_arrays(ux, jnp.zeros_like(ux)), axis=0)
+
+    bc_U = bcm.FieldBCs((
+        (bcm.FixedValue(inlet_u), bcm.ZeroGradient()),
+        (bcm.ZeroGradient(), bcm.ZeroGradient()),
+    ))
+    bc_p = bcm.FieldBCs((
+        (bcm.ZeroGradient(), bcm.FixedValue(p_inf)),
+        (bcm.FixedValue(p_inf), bcm.FixedValue(p_inf)),
+    ))
+    bc_T = bcm.FieldBCs((
+        (bcm.FixedValue(T_inf), bcm.ZeroGradient()),
+        (bcm.ZeroGradient(), bcm.ZeroGradient()),
+    ))
+    solver = QGDFoam(
+        mesh=mesh, thermo=th,
+        tau_model=ConstScPrModel1(alpha=0.5, Sc=1.0, Pr=1.0),
+        bc_U=bc_U, bc_p=bc_p, bc_T=bc_T,
+        time=common.TimeControls(max_co=0.4, max_dt=1e-3, dt0=1e-7),
+        implicit_diffusion=implicit_diffusion, fvsc_scheme=fvsc_scheme,
+    )
+    p0 = jnp.full(mesh.shape, p_inf, dtype=dtype)
+    T0 = jnp.full(mesh.shape, T_inf, dtype=dtype)
+    ux0 = jnp.asarray(u_jet * jet_mask[None, :] *
+                      np.exp(-np.asarray(mesh.centers[0]))[:, None], dtype=dtype)
+    U0 = jnp.stack([ux0, jnp.zeros(mesh.shape, dtype=dtype)])
+    return solver, solver.init(p0=p0, T0=T0, U0=U0)
+
+
+def buoyant_cavity(shape=(128, 128), dtype=np.float64, beta=-3e-3):
+    """QHDFoam differentially-heated cavity (BASELINE.json config #2)."""
+    mesh = Mesh.uniform(shape, lengths=(1.0, 1.0), dtype=dtype)
+    thermo = RhoConstThermo(rho0=1.0, Cp=1000.0, mu0=1e-2, Pr=0.71, beta=beta)
+    noslip = bcm.FieldBCs.uniform(bcm.FixedValue(jnp.zeros(2)), 2)
+    bc_T = bcm.FieldBCs((
+        (bcm.FixedValue(1.0), bcm.FixedValue(-1.0)),
+        (bcm.ZeroGradient(), bcm.ZeroGradient()),
+    ))
+    solver = QHDFoam(
+        mesh=mesh, thermo=thermo, tau_model=H2bynuQHD(alpha=0.3),
+        g=(0.0, -9.81), bc_U=noslip, bc_T=bc_T,
+        bc_p=bcm.FieldBCs.uniform(bcm.ZeroGradient(), 2),
+        time=common.TimeControls(max_co=0.3, max_dt=0.05, dt0=1e-3),
+    )
+    T0 = jnp.zeros(mesh.shape, dtype=dtype)
+    U0 = jnp.zeros((2,) + mesh.shape, dtype=dtype)
+    return solver, solver.init(U0, T0)
+
+
+def scalar_box(shape=(64, 64), dtype=np.float64):
+    """scalarTransportQHDFoam 2D periodic box (BASELINE.json config #1)."""
+    mesh = Mesh.uniform(shape, lengths=(1.0, 1.0), dtype=dtype)
+    thermo = RhoConstThermo(rho0=1.0, Cp=1000.0, mu0=1e-3, Pr=1.0)
+    per = bcm.FieldBCs.uniform(bcm.Periodic(), 2)
+    solver = ScalarTransportQHD(
+        mesh=mesh, thermo=thermo, tau_model=HbyUQHD(alpha=0.2, U0=1.0),
+        bc_T=per, bc_U=per,
+        time=common.TimeControls(max_co=0.4, max_dt=0.01, dt0=1e-4),
+    )
+    x = np.asarray(mesh.cell_coords(0)) * np.ones(mesh.shape)
+    y = np.asarray(mesh.cell_coords(1)) * np.ones(mesh.shape)
+    T0 = jnp.asarray(np.exp(-((x - 0.5) ** 2 + (y - 0.5) ** 2) / 0.01), dtype=dtype)
+    U0 = jnp.stack([jnp.ones(mesh.shape, dtype=dtype),
+                    jnp.zeros(mesh.shape, dtype=dtype)])
+    return solver, solver.init(T0, U0)

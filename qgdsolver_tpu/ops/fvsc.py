@@ -102,6 +102,11 @@ def interp_from_padded(fp, mesh: Mesh):
     return tuple(out)
 
 
+def interp_axis_from_padded(fp, mesh: Mesh, a: int):
+    """Face interpolation of a padded array to faces of a single axis."""
+    return trim_other_axes(_interp_padded(fp, mesh, a), mesh.ndim, a)
+
+
 def interpolate_padded(field, bcs: bcm.FieldBCs, mesh: Mesh, t=0.0, vector=False):
     """Like `interpolate` but keeps ghost layers on the non-face axes
     (needed when a tangential derivative of the result follows)."""

@@ -127,8 +127,12 @@ class QHDFoam:
 
             # ---- updateFluxes.H ------------------------------------------
             # (Uf & gradUf)_a[j] = sum_i Uf_i dU_j/dx_i  at a-faces
+            # (unrolled component arithmetic — no dot_general, see qgd.py)
             u_dot_gradU = tuple(
-                jnp.einsum("i...,ij...->j...", Uf[a], gradUf[a]) for a in range(nd)
+                jnp.stack(
+                    [sum(Uf[a][i] * gradUf[a][i, j] for i in range(nd))
+                     for j in range(nd)], axis=0)
+                for a in range(nd)
             )
             area = tuple(mesh.face_area(a) for a in range(nd))
             phiu = tuple(Uf[a][a] * area[a] for a in range(nd))
