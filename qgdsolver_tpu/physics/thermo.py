@@ -122,6 +122,10 @@ class PerfectGasThermo:
         """Speed of sound sqrt(gamma/psi) = sqrt(gamma R T)."""
         return jnp.sqrt(self.gamma * self.R * T)
 
+    def c_from_pT(self, p, T):
+        """Uniform thermo interface used by the QGD solver family."""
+        return self.c(T)
+
     def mu(self, p, T):
         return self.transport.mu(p, T)
 
@@ -249,9 +253,15 @@ class RhoThermo:
         drho_dp = self.eos.psi(p0, T)
         return (rho - rho0) / drho_dp
 
+    def rho_from_p_T(self, p, T):
+        return self.eos.rho(p, T)
+
     def c(self, p, T):
         """c = sqrt(gamma/psi) (reference heRhoQGDThermo_8C:135-136)."""
         return jnp.sqrt(self.gamma / self.eos.psi(p, T))
+
+    def c_from_pT(self, p, T):
+        return self.c(p, T)
 
     def mu(self, p, T):
         return self.transport.mu(p, T)

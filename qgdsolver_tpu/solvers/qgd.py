@@ -120,7 +120,7 @@ class QGDFoam:
         def step(s: State) -> State:
             rho, rhoU, rhoE, sc_prev, t, dt = s
             U, e, T, p = self.primitives(s)
-            c = th.c(T)
+            c = th.c_from_pT(p, T)
             mu_mol = th.mu(p, T)
             alphau_mol = th.alphah(p, T)
 
@@ -144,7 +144,7 @@ class QGDFoam:
             rhoU_pad = rho_pad[None] * U_pad
             rhoE_pad = rho_pad * e_pad + 0.5 * rho_pad * jnp.sum(U_pad * U_pad, axis=0)
             H_pad = (rhoE_pad + p_pad) / rho_pad
-            c_pad = th.c(T_pad)
+            c_pad = th.c_from_pT(p_pad, T_pad)
 
             # --- updateFields.H: face interpolations
             rhof = fvsc.interp_from_padded(rho_pad, mesh)

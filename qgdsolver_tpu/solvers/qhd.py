@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..core.mesh import Mesh
 from ..core import bc as bcm
-from ..ops import fvsc, linsolve
+from ..ops import fvsc, linsolve, mules
 from ..ops.pad import ghost_pad
 from ..physics.thermo import RhoConstThermo
 from ..physics.qgdcoeffs import TauModel, HbyUQHD
@@ -45,6 +45,19 @@ class State(tp.NamedTuple):
     p: jax.Array
     t: jax.Array
     dt: jax.Array
+
+
+def _cross_omega(omega, U, nd):
+    """Omega x U for a 3-vector Omega and an nd-component velocity field.
+    2D fields live in the z=const plane: only omega_z acts."""
+    if nd == 2:
+        wz = omega[2] if omega.shape[0] == 3 else omega[0]
+        return jnp.stack([-wz * U[1], wz * U[0]], axis=0)
+    return jnp.stack([
+        omega[1] * U[2] - omega[2] * U[1],
+        omega[2] * U[0] - omega[0] * U[2],
+        omega[0] * U[1] - omega[1] * U[0],
+    ], axis=0)
 
 
 def _sub_flux_bc(bc_p, grads):
@@ -61,6 +74,7 @@ class QHDFoam:
     thermo: RhoConstThermo
     tau_model: TauModel = HbyUQHD()
     g: tp.Tuple[float, ...] = None  # gravity vector, len = ndim
+    omega: tp.Optional[tp.Tuple[float, float, float]] = None  # SRF rotation
     bc_U: tp.Optional[bcm.FieldBCs] = None
     bc_T: tp.Optional[bcm.FieldBCs] = None
     bc_p: tp.Optional[bcm.FieldBCs] = None
@@ -70,6 +84,10 @@ class QHDFoam:
     cg_tol: float = 1e-8
     cg_maxiter: int = 1000
     fvsc_scheme: str = "full"
+    # "standard" = QHDTEqn.H; "mules" = MULESTEqn.H bounded explicit
+    # advection + implicit diffusion correction (mulesQHDFoam)
+    t_equation: str = "standard"
+    mules_n_iter: int = 3
 
     def _bcs(self):
         nd = self.mesh.ndim
@@ -119,6 +137,10 @@ class QHDFoam:
             Uf = fvsc.interpolate(U, bc_U, mesh, t=t, vector=True)
             Tf = fvsc.interpolate(T, bc_T, mesh, t=t)
             BdFrc = thermo.beta * T[None] * gvec.reshape((nd,) + (1,) * nd)
+            if self.omega is not None:
+                # SRF body force: BdFrc -= 2*Omega x U (Coriolis, reference
+                # SRFQHDFoam_2updateFields_8H:73: beta*T*g - 2.0*(SRF->omega()^U))
+                BdFrc = BdFrc - 2.0 * _cross_omega(jnp.asarray(self.omega), U, nd)
             BdFrcf = fvsc.interpolate(BdFrc, bc_zg, mesh, vector=True)
             Hif = tuple(alphaf[a] / rhof[a] for a in range(nd))
 
@@ -220,25 +242,50 @@ class QHDFoam:
                 lapU = fvsc.laplacian_explicit(nuf, U, bc_U, mesh, t=t, vector=True)
                 U_new = dt_new * (rhs_U + lapU)
 
-            # ---- QHDTEqn.H ----------------------------------------------
             phiTf = tuple(phi[a] * Tf[a] for a in range(nd))
-            u_dot_gradT = tuple(jnp.sum(Uf[a] * gradTf[a], axis=0) for a in range(nd))
-            phiTauTReg = tuple(tau_f[a] * phiu[a] * u_dot_gradT[a] for a in range(nd))
-            rhs_T = (
-                T / dt_new
-                - fvsc.div_flux(phiTf, mesh)
-                + fvsc.div_flux(phiTauTReg, mesh)
-            )
-            if self.implicit_diffusion:
-                resT = linsolve.solve_helmholtz(
-                    diag_coeff=1.0 / dt_new, gamma_faces=Hif, rhs=rhs_T, x0=T,
-                    bcs=bc_T, mesh=mesh, t=t,
-                    tol=self.cg_tol, maxiter=self.cg_maxiter,
+            if self.t_equation == "mules":
+                # ---- MULESTEqn.H (mulesQHDFoam_8C:128-134): bounded
+                # explicit advection with global gMax/gMin bounds, then
+                # implicit diffusion correction (MULESTEqn_8H:41-64)
+                t_max = jnp.max(T)
+                t_min = jnp.min(T)
+                T_adv, _ = mules.explicit_solve(
+                    T, phi, phiTf, dt_new, mesh, t_max, t_min,
+                    n_iter=self.mules_n_iter,
                 )
-                T_new = resT.x
+                if self.implicit_diffusion:
+                    resT = linsolve.solve_helmholtz(
+                        diag_coeff=1.0 / dt_new, gamma_faces=Hif,
+                        rhs=T_adv / dt_new, x0=T_adv, bcs=bc_T, mesh=mesh,
+                        t=t, tol=self.cg_tol, maxiter=self.cg_maxiter,
+                    )
+                    T_new = resT.x
+                else:
+                    lapT = fvsc.laplacian_explicit(Hif, T_adv, bc_T, mesh, t=t)
+                    T_new = T_adv + dt_new * lapT
             else:
-                lapT = fvsc.laplacian_explicit(Hif, T, bc_T, mesh, t=t)
-                T_new = dt_new * (rhs_T + lapT)
+                # ---- QHDTEqn.H ------------------------------------------
+                u_dot_gradT = tuple(
+                    jnp.sum(Uf[a] * gradTf[a], axis=0) for a in range(nd)
+                )
+                phiTauTReg = tuple(
+                    tau_f[a] * phiu[a] * u_dot_gradT[a] for a in range(nd)
+                )
+                rhs_T = (
+                    T / dt_new
+                    - fvsc.div_flux(phiTf, mesh)
+                    + fvsc.div_flux(phiTauTReg, mesh)
+                )
+                if self.implicit_diffusion:
+                    resT = linsolve.solve_helmholtz(
+                        diag_coeff=1.0 / dt_new, gamma_faces=Hif, rhs=rhs_T,
+                        x0=T, bcs=bc_T, mesh=mesh, t=t,
+                        tol=self.cg_tol, maxiter=self.cg_maxiter,
+                    )
+                    T_new = resT.x
+                else:
+                    lapT = fvsc.laplacian_explicit(Hif, T, bc_T, mesh, t=t)
+                    T_new = dt_new * (rhs_T + lapT)
 
             return State(U=U_new, T=T_new, p=p_new, t=t + dt_new, dt=dt_new)
 
