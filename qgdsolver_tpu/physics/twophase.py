@@ -1,0 +1,102 @@
+"""Two-phase (VoF) thermo + interface machinery backing interQHDFoam.
+
+Re-design of reference TwoPhaseQGD/ (SURVEY.md §2.2b):
+  * `constTwoPhaseProperties` — per-phase constants nu1/nu2, rho1/rho2 and
+    per-phase relaxation times Tau1/Tau2
+    (constTwoPhaseProperties_8H_source.html:48-93);
+  * `twoPhaseIcoQGDThermo` — mixture rho = (rho1-rho2)*alpha1 + rho2,
+    mu = (rho1*nu1 - rho2*nu2)*alpha1 + rho2*nu2
+    (twoPhaseIcoQGDThermo_8C_source.html:127-135);
+  * `twoPhaseConstTau` tau-model — tau = alpha1*Tau1 + (1-alpha1)*Tau2
+    (twoPhaseConstTau_8C_source.html:81-104);
+  * `qInterfaceProperties` — interface normals nHatf, curvature
+    K = -div(nHatf), surface tension force interp(sigma*K)*snGrad(alpha1)
+    (qInterfaceProperties_8C_source.html:111-157, 216-227).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.mesh import Mesh
+from ..core import bc as bcm
+from ..ops import fvsc
+
+
+@dataclasses.dataclass(frozen=True)
+class TwoPhaseProperties:
+    """constTwoPhaseProperties + interface constants."""
+
+    rho1: float
+    rho2: float
+    nu1: float
+    nu2: float
+    tau1: float
+    tau2: float
+    sigma: float = 0.0  # surface tension coefficient
+    c_alpha: float = 1.0  # interface compression (cAlpha)
+
+    # -- mixture closures (twoPhaseIcoQGDThermo) ----------------------------
+    def rho(self, alpha1):
+        return (self.rho1 - self.rho2) * alpha1 + self.rho2
+
+    def mu(self, alpha1):
+        return (self.rho1 * self.nu1 - self.rho2 * self.nu2) * alpha1 \
+            + self.rho2 * self.nu2
+
+    def tau(self, alpha1):
+        """twoPhaseConstTau blend (twoPhaseConstTau_8C:92)."""
+        return alpha1 * self.tau1 + (1.0 - alpha1) * self.tau2
+
+
+@dataclasses.dataclass(frozen=True)
+class Interface:
+    """Per-step interface quantities (pytree)."""
+
+    n_hat_f: tuple  # per-axis face normal flux nHatf = nHat & Sf
+    K: object  # cell curvature
+    stf: tuple  # per-axis surface tension force (face scalar)
+
+
+def delta_n(mesh: Mesh) -> float:
+    """Stabilisation deltaN = 1e-8/cbrt(mean V)
+    (qInterfaceProperties_8C:177-180)."""
+    return 1e-8 / float(np.cbrt(np.mean(np.broadcast_to(
+        mesh.cell_volume, mesh.shape))))
+
+
+def interface_properties(alpha1, bc_alpha, mesh: Mesh, sigma: float,
+                         t=0.0) -> Interface:
+    """nHatf, curvature and surface-tension force
+    (qInterfaceProperties_8C:111-157, 223-227)."""
+    nd = mesh.ndim
+    dN = delta_n(mesh)
+    grad_a = fvsc.grad_cell(alpha1, bc_alpha, mesh, t=t)  # (d, cells)
+    bc_zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
+    grad_af = fvsc.interpolate(grad_a, bc_zg, mesh, vector=False)
+    n_hat_f = []
+    for a in range(nd):
+        g = grad_af[a]
+        mag = jnp.sqrt(jnp.sum(g * g, axis=0)) + dN
+        n_hat_f.append(g[a] / mag * mesh.face_area(a))  # nHat & Sf
+    K = -fvsc.div_flux(tuple(n_hat_f), mesh)
+    sigK_f = fvsc.interpolate(sigma * K, bc_zg, mesh)
+    sn_a = fvsc.sn_grad(alpha1, bc_alpha, mesh, t=t)
+    stf = tuple(sigK_f[a] * sn_a[a] for a in range(nd))
+    return Interface(n_hat_f=tuple(n_hat_f), K=K, stf=stf)
+
+
+def reconstruct(face_flux, mesh: Mesh):
+    """fvc::reconstruct of a face-normal flux field (X & Sf) into a cell
+    vector: on a brick mesh comp a = (flux_lo + flux_hi)/(2*|S_a|)."""
+    nd = mesh.ndim
+    comps = []
+    for a, f in enumerate(face_flux):
+        ax = f.ndim - nd + a
+        n = f.shape[ax]
+        lo = jnp.take(f, jnp.arange(0, n - 1), axis=ax)
+        hi = jnp.take(f, jnp.arange(1, n), axis=ax)
+        comps.append((lo + hi) / (2.0 * mesh.face_area(a)))
+    return jnp.stack(comps, axis=0)
