@@ -224,7 +224,7 @@ class QGDFoam:
                             - ((2.0 / 3.0) * divU if j == a else 0.0)
                         )
                     pi_row.append(pij)
-                phiPi[a] = jnp.stack(pi_row, axis=0)
+                phiPi[a] = area[a] * jnp.stack(pi_row, axis=0)
 
                 # energy fluxes
                 phiJmH[a] = phiJm[a] * Hf[a]

@@ -187,7 +187,7 @@ class ZQGDFoam:
                         # the reference, zQGDFoam_2updateFluxes_8H:56-61)
                         pij = pij + muf[a] * gU[a, j]
                     pi_row.append(pij)
-                phiPi[a] = jnp.stack(pi_row, axis=0)
+                phiPi[a] = area[a] * jnp.stack(pi_row, axis=0)
 
                 # energy
                 E1f = 0.5 * rhoLnf * sum(U_p[i] * U_n[i] for i in range(nd)) \

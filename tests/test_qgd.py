@@ -147,3 +147,32 @@ def test_sod_shock_tube_1d():
     assert l1 < 0.02, f"Sod rho L1 error {l1}"
     u_num = np.asarray(s.rhoU[0] / s.rho)
     assert np.mean(np.abs(u_num - u_ex)) < 0.04
+
+
+def test_entropy_wave_2d_stability():
+    """2D advection of a smooth entropy (temperature) wave: regression for
+    the Pi-tensor face-area bug (flux scaling is invisible in 1D where
+    |Sf| == 1, so Sod alone cannot catch it)."""
+    mesh = Mesh.uniform((48, 8), lengths=(1.0, 0.2), dtype=np.float64)
+    th = PerfectGasThermo(R=287.0, Cp=1004.5)
+    per = bcm.FieldBCs.uniform(bcm.Periodic(), 2)
+    solver = QGDFoam(
+        mesh=mesh, thermo=th, tau_model=ConstScPrModel1(alpha=0.5),
+        bc_U=per, bc_p=per, bc_T=per,
+        time=common.TimeControls(max_co=0.3, max_dt=1e-3, dt0=1e-6),
+    )
+    x = np.asarray(mesh.cell_coords(0)) * np.ones(mesh.shape)
+    T0 = jnp.asarray(400.0 * (1 + 0.2 * np.exp(-((x - 0.3) / 0.08) ** 2)))
+    U0 = jnp.zeros((2,) + mesh.shape).at[0].set(50.0)
+    s = solver.init(p0=jnp.full(mesh.shape, 1e5), T0=T0, U0=U0)
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, s, 300)
+    assert np.all(np.isfinite(np.asarray(s.rho)))
+    # stays y-uniform (no spurious transverse mode)
+    y_var = float(jnp.max(jnp.abs(s.rho - s.rho[:, :1])))
+    assert y_var < 1e-8
+    # the temperature bump advected downstream with the 50 m/s flow
+    U, e, T, p = solver.primitives(s)
+    i_peak = int(np.argmax(np.asarray(T)[:, 4]))
+    x_peak = np.asarray(mesh.centers[0])[i_peak]
+    assert x_peak > 0.32

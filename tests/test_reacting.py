@@ -1,0 +1,127 @@
+"""Multicomponent reacting QGD solver tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qgdsolver_tpu.core.mesh import Mesh
+from qgdsolver_tpu.core import bc as bcm
+from qgdsolver_tpu.physics.species import Specie, MixtureThermo
+from qgdsolver_tpu.physics.chemistry import Reaction, Laminar, NoCombustion
+from qgdsolver_tpu.physics.qgdcoeffs import ConstScPrModel1
+from qgdsolver_tpu.physics.thermo import ConstTransport
+from qgdsolver_tpu.solvers import common
+from qgdsolver_tpu.solvers.reacting import ReactingQGDFoam
+
+
+def _mix():
+    # 3 species: fuel F, oxidizer O, inert N (constant cp for exactness)
+    F = Specie(name="F", W=16.0, Cp=2200.0, hf=-7.49e6, Sc=0.7)
+    O = Specie(name="O", W=32.0, Cp=920.0, hf=0.0, Sc=0.8)
+    N = Specie(name="N", W=28.0, Cp=1040.0, hf=0.0, Sc=1.0)
+    return MixtureThermo(species=(F, O, N), inert_index=2,
+                         transport=ConstTransport(1.8e-5), Pr=0.7)
+
+
+def test_mixture_thermo_roundtrip():
+    mix = _mix()
+    Y = jnp.asarray([0.1, 0.3, 0.6]).reshape(3, 1)
+    T = jnp.asarray([900.0]).reshape(1)
+    e = mix.e_from_T(Y, T)
+    T2 = mix.T_from_e(Y, e, jnp.asarray([500.0]))
+    np.testing.assert_allclose(np.asarray(T2), 900.0, rtol=1e-8)
+    p = jnp.asarray([2e5])
+    rho = mix.rho_from_p_T(Y, p, T)
+    np.testing.assert_allclose(np.asarray(mix.p_from_rho_T(Y, rho, T)), 2e5,
+                               rtol=1e-12)
+    assert float(mix.c_from_pT(Y, p, T)[0]) > 0
+
+
+def test_freestream_preservation_multispecies():
+    mesh = Mesh.uniform((12, 8), lengths=(1.0, 1.0), dtype=np.float64)
+    mix = _mix()
+    per = bcm.FieldBCs.uniform(bcm.Periodic(), 2)
+    solver = ReactingQGDFoam(
+        mesh=mesh, mixture=mix, combustion=NoCombustion(),
+        tau_model=ConstScPrModel1(alpha=0.5),
+        bc_U=per, bc_p=per, bc_T=per, bc_Y=per,
+        time=common.TimeControls(max_co=0.3, max_dt=1e-3, dt0=1e-6),
+    )
+    Y0 = jnp.stack([jnp.full(mesh.shape, 0.2), jnp.full(mesh.shape, 0.3),
+                    jnp.full(mesh.shape, 0.5)])
+    s = solver.init(p0=jnp.full(mesh.shape, 1e5),
+                    T0=jnp.full(mesh.shape, 600.0),
+                    U0=jnp.stack([jnp.full(mesh.shape, 80.0),
+                                  jnp.zeros(mesh.shape)]), Y0=Y0)
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, s, 10)
+    np.testing.assert_allclose(np.asarray(s.rho), float(s.rho[0, 0]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s.Y[0]), 0.2, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s.Y[2]), 0.5, atol=1e-12)
+
+
+def test_species_advection_and_mass_conservation():
+    """A fuel blob advects with the flow; species stay in [0,1] and sum to 1."""
+    mesh = Mesh.uniform((48, 8), lengths=(1.0, 0.2), dtype=np.float64)
+    mix = _mix()
+    per = bcm.FieldBCs.uniform(bcm.Periodic(), 2)
+    # implicit diffusion: mu_QGD = p*Sc*tau makes the explicit diffusion
+    # limit more restrictive than the acoustic CFL here — the reference's
+    # implicitDiffusion=true default exists for exactly this regime
+    solver = ReactingQGDFoam(
+        mesh=mesh, mixture=mix, combustion=NoCombustion(),
+        tau_model=ConstScPrModel1(alpha=0.5), implicit_diffusion=True,
+        bc_U=per, bc_p=per, bc_T=per, bc_Y=per,
+        time=common.TimeControls(max_co=0.3, max_dt=1e-3, dt0=1e-6),
+    )
+    x = np.asarray(mesh.cell_coords(0)) * np.ones(mesh.shape)
+    yF = 0.3 * np.exp(-((x - 0.3) / 0.08) ** 2)
+    Y0 = jnp.stack([jnp.asarray(yF), jnp.full(mesh.shape, 0.2),
+                    jnp.asarray(0.8 - yF)])
+    s = solver.init(p0=jnp.full(mesh.shape, 1e5),
+                    T0=jnp.full(mesh.shape, 400.0),
+                    U0=jnp.stack([jnp.full(mesh.shape, 50.0),
+                                  jnp.zeros(mesh.shape)]), Y0=Y0)
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, s, 60)
+    Ysum = np.asarray(jnp.sum(s.Y, axis=0))
+    np.testing.assert_allclose(Ysum, 1.0, atol=1e-10)
+    assert float(jnp.min(s.Y)) >= 0.0
+    assert np.all(np.isfinite(np.asarray(s.rho)))
+    # blob moved downstream
+    i0 = np.argmax(np.asarray(s.Y[0])[:, 4])
+    assert np.asarray(mesh.centers[0])[i0] > 0.3 + 0.01
+
+
+def test_single_step_combustion_releases_heat():
+    """F + 2 O -> products with Arrhenius kinetics: fuel burns, T rises.
+
+    Exothermicity: Qdot = -sum hf_i RR_i, so consuming a specie with
+    POSITIVE hf while producing hf=0 products releases heat."""
+    mesh = Mesh.uniform((8, 8), lengths=(0.1, 0.1), dtype=np.float64)
+    F = Specie(name="F", W=16.0, Cp=2200.0, hf=5.0e6, Sc=0.7)
+    O = Specie(name="O", W=32.0, Cp=920.0, hf=0.0, Sc=0.8)
+    N = Specie(name="N", W=28.0, Cp=1040.0, hf=0.0, Sc=1.0)
+    from qgdsolver_tpu.physics.thermo import ConstTransport
+    mix = MixtureThermo(species=(F, O, N), inert_index=2,
+                        transport=ConstTransport(1.8e-5), Pr=0.7)
+    # F(W=16) + 2*O(W=32) -> products folded into inert (mass: 16+64=80)
+    rxn = Reaction(lhs=((0, 1.0), (1, 2.0)), rhs=((2, 2.5),),
+                   A=7e8, beta=0.0, Ta=2000.0)
+    per = bcm.FieldBCs.uniform(bcm.Periodic(), 2)
+    solver = ReactingQGDFoam(
+        mesh=mesh, mixture=mix, combustion=Laminar(reactions=(rxn,)),
+        tau_model=ConstScPrModel1(alpha=0.5),
+        bc_U=per, bc_p=per, bc_T=per, bc_Y=per,
+        time=common.TimeControls(max_co=0.3, max_dt=2e-5, dt0=1e-7),
+    )
+    Y0 = jnp.stack([jnp.full(mesh.shape, 0.1), jnp.full(mesh.shape, 0.5),
+                    jnp.full(mesh.shape, 0.4)])
+    s = solver.init(p0=jnp.full(mesh.shape, 1e5),
+                    T0=jnp.full(mesh.shape, 1200.0),
+                    U0=jnp.zeros((2,) + mesh.shape), Y0=Y0)
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, s, 50)
+    # fuel measurably consumed and heat released
+    assert float(jnp.max(s.Y[0])) < 0.09
+    assert float(jnp.min(s.T)) > 1250.0
+    np.testing.assert_allclose(np.asarray(jnp.sum(s.Y, 0)), 1.0, atol=1e-9)
