@@ -96,7 +96,14 @@ class QGDFoam:
         p = th.p_from_rho_T(s.rho, T)
         return U, e, T, p
 
-    def make_step(self):
+    def make_step(self, external_sources: bool = False):
+        """Build the jitted step.
+
+        external_sources=True: the returned step takes
+        (state, (rhoSu, rhoUSu, rhoESu)) — the createZeroSources.H slots used
+        by the Lagrangian solvers (particlesQGDFoam_8C:125-130 sets
+        rhoUSu = parcels.SU(U), rhoESu = parcels.Sh(e)).
+        """
         mesh = self.mesh
         nd = mesh.ndim
         th = self.thermo
@@ -117,7 +124,7 @@ class QGDFoam:
 
         bc_e = bc_T.map(t2e)
 
-        def step(s: State) -> State:
+        def step(s: State, srcs=None) -> State:
             rho, rhoU, rhoE, sc_prev, t, dt = s
             U, e, T, p = self.primitives(s)
             c = th.c_from_pT(p, T)
@@ -242,13 +249,22 @@ class QGDFoam:
             co = common.courant_acoustic(Uf, cf, dt, mesh)
             dt_new = common.set_delta_t(dt, co, common.tau_f_min(tau_f), tc)
 
+            # external sources: tuple, or callable of the dt actually applied
+            # (keeps parcel-exchange conservation exact under adaptive dt)
+            if srcs is None:
+                rhoSu = rhoUSu = rhoESu = 0.0
+            elif callable(srcs):
+                rhoSu, rhoUSu, rhoESu = srcs(dt_new)
+            else:
+                rhoSu, rhoUSu, rhoESu = srcs
+
             # --- QGDRhoEqn.H (explicit)
-            rho_new = rho - dt_new * fvsc.div_flux(tuple(phiJm), mesh)
+            rho_new = rho - dt_new * (fvsc.div_flux(tuple(phiJm), mesh) - rhoSu)
 
             # --- QGDUEqn.H
             mom_flux = tuple(phiJmU[a] + eye_vec(phiP[a], a, nd) - phiPi[a]
                              for a in range(nd))
-            rhoU_new = rhoU - dt_new * fvsc.div_flux(mom_flux, mesh)
+            rhoU_new = rhoU - dt_new * (fvsc.div_flux(mom_flux, mesh) - rhoUSu)
             U_new = rhoU_new / rho_new[None]
 
             phiSigmaDotU = tuple(jnp.zeros_like(phiJm[a]) for a in range(nd))
@@ -295,7 +311,7 @@ class QGDFoam:
             # --- QGDEEqn.H
             e_flux = tuple(phiJmH[a] + phiQ[a] - phiPiU[a] - phiSigmaDotU[a]
                            for a in range(nd))
-            rhoE_new = rhoE - dt_new * fvsc.div_flux(e_flux, mesh)
+            rhoE_new = rhoE - dt_new * (fvsc.div_flux(e_flux, mesh) - rhoESu)
             e_new = rhoE_new / rho_new - 0.5 * jnp.sum(U_new * U_new, axis=0)
             if self.implicit_diffusion:
                 rhs_e = rho_new * e_new / dt_new
@@ -310,7 +326,9 @@ class QGDFoam:
             return State(rho=rho_new, rhoU=rhoU_new, rhoE=rhoE_new,
                          sc=coeffs.sc, t=t + dt_new, dt=dt_new)
 
-        return step
+        if external_sources:
+            return step
+        return lambda s: step(s, None)
 
 
 def eye_vec(phiP_a, a, nd):

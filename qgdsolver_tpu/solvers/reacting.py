@@ -92,8 +92,10 @@ class ReactingQGDFoam:
         return U, e, T, p
 
     def make_step(self, sources: tp.Optional[tp.Callable] = None):
-        """sources(state, primitives) -> (rhoSu, rhoUSu, rhoESu, YSu) — the
-        parcels.SU/Sh/SYi hook (zero when None)."""
+        """sources(state, primitives, dt) -> (rhoSu, rhoUSu, rhoESu, YSu) —
+        the parcels.SU/Sh/SYi hook (zero when None); `dt` is the dt actually
+        applied this step, so exchange terms conserve exactly under adaptive
+        time stepping."""
         mesh = self.mesh
         nd = mesh.ndim
         mix = self.mixture
@@ -230,7 +232,8 @@ class ReactingQGDFoam:
             # optional source hook (parcels.SU/Sh/SYi)
             rhoSu = rhoUSu = rhoESu_extra = YSu = None
             if sources is not None:
-                rhoSu, rhoUSu, rhoESu_extra, YSu = sources(s, (U, e, T, p))
+                rhoSu, rhoUSu, rhoESu_extra, YSu = sources(s, (U, e, T, p),
+                                                           dt_new)
 
             # --- QGDRhoEqn
             rho_new = rho - dt_new * fvsc.div_flux(tuple(phiJm), mesh)
