@@ -52,6 +52,11 @@ class State(tp.NamedTuple):
     sc: jax.Array  # ScQGD carried state (varScModel5 relaxation)
     t: jax.Array
     dt: jax.Array
+    # lagged qgdFlux p-BC gradients, one per QGDFluxP-marked (axis, side):
+    # dp/dn = -phiwStar/(tau_f*|Sf|) from the PREVIOUS step's fluxes, exactly
+    # like the reference's updateCoeffs lookup of the registered phiwStar
+    # (qgdFluxFvPatchScalarField_8C updateCoeffs, gradient at :192)
+    pbc: tp.Tuple[jax.Array, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +80,24 @@ class QGDFoam:
         bt = self.bc_T or bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
         return bu, bp, bt
 
+    def _flux_sides(self):
+        """(axis, side) pairs carrying the qgdFlux p BC."""
+        _, bp, _ = self._bcs()
+        return tuple(
+            (a, side)
+            for a in range(self.mesh.ndim)
+            for side in (0, 1)
+            if isinstance(bp[a, side], bcm.QGDFluxP)
+        )
+
+    def _pbc_zeros(self, dtype):
+        out = []
+        for a, side in self._flux_sides():
+            shape = list(self.mesh.shape)
+            shape[a] = 1
+            out.append(jnp.zeros(tuple(shape), dtype=dtype))
+        return tuple(out)
+
     def init(self, p0, T0, U0, t0=0.0, sc0=None) -> State:
         th = self.thermo
         p0, T0, U0 = jnp.asarray(p0), jnp.asarray(T0), jnp.asarray(U0)
@@ -85,7 +108,8 @@ class QGDFoam:
         sc = jnp.zeros_like(rho) if sc0 is None else jnp.asarray(sc0)
         dt = jnp.asarray(self.time.dt0, dtype=rho.dtype)
         return State(rho=rho, rhoU=rhoU, rhoE=rhoE, sc=sc,
-                     t=jnp.asarray(t0, dtype=rho.dtype), dt=dt)
+                     t=jnp.asarray(t0, dtype=rho.dtype), dt=dt,
+                     pbc=self._pbc_zeros(rho.dtype))
 
     # -- primitive reconstruction ------------------------------------------
     def primitives(self, s: State):
@@ -124,8 +148,14 @@ class QGDFoam:
 
         bc_e = bc_T.map(t2e)
 
+        flux_sides = self._flux_sides()
+
         def step(s: State, srcs=None) -> State:
-            rho, rhoU, rhoE, sc_prev, t, dt = s
+            rho, rhoU, rhoE, sc_prev, t, dt = s[:6]
+            # substitute lagged qgdFlux gradients into the p BCs
+            bc_p = bc_p0
+            for i, (a, side) in enumerate(flux_sides):
+                bc_p = bc_p.replace(a, side, bcm.FixedGradient(s.pbc[i]))
             U, e, T, p = self.primitives(s)
             c = th.c_from_pT(p, T)
             mu_mol = th.mu(p, T)
@@ -142,7 +172,7 @@ class QGDFoam:
             # --- qgdFlux p BC needs phiwStar: substitute after flux assembly;
             # gradients here use the previous-step convention (zero-order) —
             # build padded primitives with the *configured* BCs first.
-            p_pad = ghost_pad(p, bc_p0, mesh, t=t)
+            p_pad = ghost_pad(p, bc_p, mesh, t=t)
             T_pad = ghost_pad(T, bc_T, mesh, t=t)
             U_pad = ghost_pad(U, bc_U, mesh, t=t, vector=True)
             # thermodynamically-consistent derived ghosts
@@ -323,8 +353,23 @@ class QGDFoam:
                 e_new = resE.x
                 rhoE_new = rho_new * (e_new + 0.5 * jnp.sum(U_new * U_new, axis=0))
 
+            # update the lagged qgdFlux gradients from this step's phiwStar
+            pbc_new = []
+            for a, side in flux_sides:
+                idx = 0 if side == 0 else -1
+                ax = phiwStar[a].ndim - nd + a
+                ws = jnp.take(phiwStar[a], jnp.asarray([idx]), axis=ax)
+                tf = jnp.take(tau_f[a], jnp.asarray([idx]),
+                              axis=tau_f[a].ndim - nd + a)
+                sign = -1.0 if side == 0 else 1.0
+                ar = jnp.broadcast_to(area[a] * jnp.ones_like(tau_f[a]),
+                                      tau_f[a].shape)
+                arb = jnp.take(ar, jnp.asarray([idx]), axis=ax)
+                pbc_new.append(-sign * ws / (tf * arb))
+
             return State(rho=rho_new, rhoU=rhoU_new, rhoE=rhoE_new,
-                         sc=coeffs.sc, t=t + dt_new, dt=dt_new)
+                         sc=coeffs.sc, t=t + dt_new, dt=dt_new,
+                         pbc=tuple(pbc_new))
 
         if external_sources:
             return step

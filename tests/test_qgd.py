@@ -176,3 +176,40 @@ def test_entropy_wave_2d_stability():
     i_peak = int(np.argmax(np.asarray(T)[:, 4]))
     x_peak = np.asarray(mesh.centers[0])[i_peak]
     assert x_peak > 0.32
+
+
+def test_qgd_flux_pressure_bc_outflow():
+    """qgdFlux p BC at the outlet: dp/dn = -phiwStar/(tau_f|Sf|) (lagged,
+    qgdFluxFvPatchScalarField updateCoeffs).  A uniform supersonic stream
+    must pass through unchanged (the BC's design condition)."""
+    mesh = Mesh.uniform((32, 8), lengths=(1.0, 0.25), dtype=np.float64)
+    th = PerfectGasThermo(R=287.0, Cp=1004.5)
+    u_in = 500.0
+    bc_U = bcm.FieldBCs((
+        (bcm.FixedValue(jnp.asarray([u_in, 0.0])), bcm.ZeroGradient()),
+        (bcm.Periodic(), bcm.Periodic()),
+    ))
+    bc_p = bcm.FieldBCs((
+        (bcm.ZeroGradient(), bcm.QGDFluxP()),
+        (bcm.Periodic(), bcm.Periodic()),
+    ))
+    bc_T = bcm.FieldBCs((
+        (bcm.FixedValue(300.0), bcm.ZeroGradient()),
+        (bcm.Periodic(), bcm.Periodic()),
+    ))
+    solver = QGDFoam(
+        mesh=mesh, thermo=th, tau_model=ConstScPrModel1(alpha=0.5),
+        bc_U=bc_U, bc_p=bc_p, bc_T=bc_T,
+        time=common.TimeControls(max_co=0.3, max_dt=1e-4, dt0=1e-7),
+    )
+    assert solver._flux_sides() == ((0, 1),)
+    s = solver.init(p0=jnp.full(mesh.shape, 1e5),
+                    T0=jnp.full(mesh.shape, 300.0),
+                    U0=jnp.zeros((2,) + mesh.shape).at[0].set(u_in))
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, s, 100)
+    U, e, T, p = solver.primitives(s)
+    assert np.all(np.isfinite(np.asarray(p)))
+    # stream passes through: p stays near 1e5 everywhere, Ux near u_in
+    np.testing.assert_allclose(np.asarray(p), 1e5, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(U[0]), u_in, rtol=2e-2)
