@@ -75,6 +75,11 @@ class QHDFoam:
     tau_model: TauModel = HbyUQHD()
     g: tp.Tuple[float, ...] = None  # gravity vector, len = ndim
     omega: tp.Optional[tp.Tuple[float, float, float]] = None  # SRF rotation
+    # QHDDyMFoam: prescribed rigid mesh-motion velocity U_mesh(t) -> (ndim,).
+    # Convective fluxes are made relative (fvc::makeRelative(phi, U),
+    # QHDDyMFoam_8C_source.html:109-135); the grid is treated as moving with
+    # the frame, so solutions are reported in mesh coordinates.
+    mesh_velocity: tp.Optional[tp.Callable] = None
     bc_U: tp.Optional[bcm.FieldBCs] = None
     bc_T: tp.Optional[bcm.FieldBCs] = None
     bc_p: tp.Optional[bcm.FieldBCs] = None
@@ -163,7 +168,12 @@ class QHDFoam:
             taubyrhof = tuple(tau_f[a] / rhof[a] for a in range(nd))
 
             # ---- Courant + setDeltaT -------------------------------------
-            co = common.courant_advective(Uf, dt, mesh)
+            if self.mesh_velocity is not None:
+                um = jnp.asarray(self.mesh_velocity(t)).reshape((nd,) + (1,) * nd)
+                Uf_rel = tuple(Uf[a] - um for a in range(nd))
+                co = common.courant_advective(Uf_rel, dt, mesh)
+            else:
+                co = common.courant_advective(Uf, dt, mesh)
             dt_new = common.set_delta_t(dt, co, common.tau_f_min(tau_f), tc)
 
             # ---- QHDpEqn.H ----------------------------------------------
@@ -199,6 +209,11 @@ class QHDFoam:
                 phiu[a] - phiwo[a] - taubyrhof[a] * area[a] * snp[a]
                 for a in range(nd)
             )
+            if self.mesh_velocity is not None:
+                # fvc::makeRelative(phi, U): subtract the mesh face flux
+                # (QHDDyMFoam_8C:109-135) from the convective flux
+                um = jnp.asarray(self.mesh_velocity(t))
+                phi = tuple(phi[a] - um[a] * area[a] for a in range(nd))
 
             # ---- QHDUEqn.H ----------------------------------------------
             gradPf = fvsc.grad(p_new, bc_p, mesh, scheme=scheme, t=t)

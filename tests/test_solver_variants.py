@@ -107,3 +107,30 @@ def test_rho_qgd_freestream_stiffened_gas():
     s = common.run_steps(step, s, 10)
     np.testing.assert_allclose(np.asarray(s.rho), float(s.rho[0, 0]), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(s.rhoU[0] / s.rho), 50.0, rtol=1e-10)
+
+
+def test_qhd_dym_galilean_invariance():
+    """Rigid mesh motion: advecting the frame at the flow speed makes the
+    solution stationary in mesh coordinates (makeRelative correctness)."""
+    from qgdsolver_tpu.solvers.qhd_dym import QHDDyMFoam
+
+    mesh = Mesh.uniform((32, 8), lengths=(1.0, 0.25), dtype=np.float64)
+    thermo = RhoConstThermo(rho0=1.0, Cp=1000.0, mu0=1e-5, Pr=1.0, beta=0.0)
+    per = bcm.FieldBCs.uniform(bcm.Periodic(), 2)
+    u0 = 1.0
+    solver = QHDDyMFoam(
+        mesh_velocity=lambda t: jnp.asarray([u0, 0.0]),
+        mesh=mesh, thermo=thermo, tau_model=HbyUQHD(alpha=0.2, U0=u0),
+        g=(0.0, 0.0), bc_U=per, bc_T=per, bc_p=per,
+        time=common.TimeControls(max_co=0.3, max_dt=5e-3, dt0=1e-3),
+    )
+    x = np.asarray(mesh.cell_coords(0)) * np.ones(mesh.shape)
+    T0 = jnp.asarray(np.exp(-((x - 0.5) / 0.1) ** 2))
+    U0 = jnp.stack([jnp.full(mesh.shape, u0), jnp.zeros(mesh.shape)])
+    s = solver.init(U0, T0)
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, s, 40)
+    # in the co-moving mesh frame the blob must NOT advect: the peak stays
+    i0 = np.argmax(np.asarray(s.T)[:, 4])
+    assert abs(np.asarray(mesh.centers[0])[i0] - 0.5) < 0.05
+    assert np.all(np.isfinite(np.asarray(s.U)))
