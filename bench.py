@@ -20,7 +20,7 @@ def main():
     from qgdsolver_tpu.solvers import common
 
     shape = (1024, 512)
-    n_steps = 50
+    n_steps = 500
     solver, state = cases.supersonic_jet(shape=shape, dtype=np.float32)
     step = solver.make_step()
 
