@@ -103,7 +103,7 @@ class ZQGDFoam:
             return (trim_other_axes(lo, nd, a), trim_other_axes(hi, nd, a))
 
         def step(s: State) -> State:
-            rho, rhoU, rhoE, sc_prev, t, dt = s
+            rho, rhoU, rhoE, sc_prev, t, dt = s[:6]
             U, e, T, p = self.primitives(s)
             c = th.c_from_pT(p, T)
             mu_mol = th.mu(p, T)
@@ -239,7 +239,7 @@ class ZQGDFoam:
                 rhoE_new = rho_new * (resE.x + 0.5 * jnp.sum(U_new * U_new, axis=0))
 
             return State(rho=rho_new, rhoU=rhoU_new, rhoE=rhoE_new,
-                         sc=coeffs.sc, t=t + dt_new, dt=dt_new)
+                         sc=coeffs.sc, t=t + dt_new, dt=dt_new, pbc=s.pbc)
 
         return step
 
@@ -248,3 +248,5 @@ class ZQGDFoam:
 from .qgd import QGDFoam as _Q  # noqa: E402
 
 ZQGDFoam.init = _Q.init
+ZQGDFoam._flux_sides = _Q._flux_sides
+ZQGDFoam._pbc_zeros = _Q._pbc_zeros
