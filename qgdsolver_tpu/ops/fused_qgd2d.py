@@ -1,0 +1,552 @@
+"""Fused single-pass Pallas TPU kernel for the 2D explicit QGDFoam step.
+
+Motivation (measured on the bench chip, a v5p-class part: ~2.7 TB/s HBM,
+~120 MB usable VMEM): the composable XLA step materialises every intermediate
+face field — ~1600 bytes of HBM traffic per grid point per step — and runs at
+~96% of HBM bandwidth, i.e. it is purely memory-bound on materialisation
+traffic.  The physics needs only the 4 primitive fields in and 4 out
+(~50 B/point), so a fused kernel has ~10x headroom.
+
+Design
+------
+State carried across steps = the GHOST-PADDED primitive fields (p, T, Ux, Uy),
+each stored (nx+2, Wp) where Wp = ny+2 rounded up to a multiple of 128 (TPU
+lane tiling; tail columns are dead lanes).  The whole-field step runs as ONE
+single-program pallas_call with every field resident in VMEM (the bench field
+set is ~10 MB, far under the ~120 MB VMEM of this part):
+
+  1. XLA pre-pass (fuses into ~4 HBM read passes, no materialisation):
+     acoustic Courant number + min face tau -> new dt (reference
+     QGDCourantNo.H + setDeltaT-QGDQHD.H semantics, identical to the
+     composable path).
+  2. pallas kernel, entirely in VMEM/VPU registers:
+     primitives -> thermo (rho, e, c, H) -> tau coefficients
+     (constScPrModel1 family) -> face interpolations -> fvsc "full" vertex
+     gradients -> QGD fluxes (jm, Pi, q — reference
+     QGDFoam_2updateFluxes_8H:41-139) -> explicit rho/rhoU/rhoE update
+     (QGDRhoEqn/QGDUEqn/QGDEEqn) -> new primitives -> boundary-condition
+     ghost layers (sequential-axis pad semantics identical to ops.pad).
+
+Mosaic restricts lane/sublane repositioning (slices and concats must respect
+the (8, 128) tile), so ALL neighbour access is expressed as full-frame
+rotations (pltpu.roll) and ghost/edge handling as iota masks — every array in
+the kernel keeps the full (nx+2, Wp) frame, and face/cell indexing is a
+convention on which rows/lanes are live:
+  * x-faces: face r+1/2 lives at row r (rows 0..nx live);
+  * y-faces: face s+1/2 lives at lane s (lanes 0..M live);
+  * cells:   cell (r, s) lives at row r+1, lane s+1.
+
+HBM traffic per step: 4 reads (pre-pass) + 4 reads + 4 writes (kernel
+pipeline) ~= 50 B/point — ~8x less than the composable path, leaving the step
+VPU-bound.  Numerics are IDENTICAL op-for-op (same formulas, same association
+order) up to f32 non-associativity of XLA vs Mosaic scheduling.
+
+Restrictions (checked in `supported()`): 2D uniform mesh, f32,
+PerfectGasThermo, ConstScPrModel1-family tau model, explicit diffusion, no
+qgdFlux p-BC, BC types {FixedValue (static value), ZeroGradient,
+FixedGradient (static), Symmetry, Extrapolated}, field set small enough for
+VMEM residency.  Everything else falls back to the composable step.
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import bc as bcm
+from ..ops import fvsc
+from ..physics.thermo import PerfectGasThermo, ConstTransport
+from ..physics.qgdcoeffs import ConstScPrModel1
+from ..solvers import common
+
+LANE = 128
+VMEM_FIELD_BUDGET = 48 * 1024 * 1024  # bytes for the 4 in + 4 out fields
+
+
+class FusedState(tp.NamedTuple):
+    """Scan carry of the fused step: ghost-padded primitives + time state.
+
+    Arrays are (nx+2, Wp); columns [0, ny+2) are live (ghost, cells, ghost),
+    the rest dead lane-padding.
+    """
+
+    p: jax.Array
+    T: jax.Array
+    ux: jax.Array
+    uy: jax.Array
+    t: jax.Array
+    dt: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# capability check
+# ---------------------------------------------------------------------------
+
+_SIMPLE_BCS = (bcm.FixedValue, bcm.ZeroGradient, bcm.FixedGradient,
+               bcm.Symmetry, bcm.Extrapolated)
+
+
+def supported(solver) -> bool:
+    """True if this solver config can run on the fused kernel."""
+    from ..solvers.qgd import QGDFoam
+
+    if type(solver) is not QGDFoam:
+        return False
+    mesh = solver.mesh
+    if mesh.ndim != 2:
+        return False
+    if np.dtype(mesh.dtype) != np.float32:
+        return False
+    for a in range(2):
+        d = mesh.dx[a]
+        if not np.allclose(d, d[0]):
+            return False
+    nx, ny = mesh.shape
+    wp = max(LANE, -(-(ny + 2) // LANE) * LANE)
+    if 8 * (nx + 2) * wp * 4 > VMEM_FIELD_BUDGET:
+        return False
+    if not isinstance(solver.thermo, PerfectGasThermo):
+        return False
+    if not isinstance(solver.tau_model, ConstScPrModel1):
+        return False
+    if solver.implicit_diffusion:
+        return False
+    if solver.fvsc_scheme != "full":
+        return False
+    if solver._flux_sides():
+        return False
+    for bcs in solver._bcs():
+        for a in range(2):
+            for side in (0, 1):
+                if not isinstance(bcs[a, side], _SIMPLE_BCS):
+                    return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# BC spec compilation (static, evaluated at build time)
+# ---------------------------------------------------------------------------
+
+
+def _eval_static_value(v, mesh, a, side, vector_comp=None):
+    """Evaluate a BC value/gradient spec to a static numpy array over the
+    ghost layer (mirrors pad._layer_coords at t=0; time-dependent BC values
+    are not supported by the fused path)."""
+    if callable(v):
+        nd = mesh.ndim
+        coords = []
+        for b in range(nd):
+            if b == a:
+                c = jnp.asarray(mesh.x_faces[a][0 if side == 0 else -1],
+                                dtype=mesh.dtype).reshape((1,) * nd)
+            else:
+                vals = mesh.centers[b]
+                shape = [1] * nd
+                shape[b] = len(vals)
+                c = jnp.asarray(vals, dtype=mesh.dtype).reshape(shape)
+            coords.append(c)
+        out = np.asarray(v(0.0, tuple(coords)))
+        if vector_comp is not None:
+            out = out[vector_comp]
+        return out.astype(mesh.dtype)
+    v = np.asarray(v, dtype=mesh.dtype)
+    if vector_comp is not None and v.ndim >= 1 and v.shape[0] == mesh.ndim:
+        v = v[vector_comp]
+    return v
+
+
+@dataclasses.dataclass(frozen=True)
+class _BCSpec:
+    kind: str             # 'fixed' | 'zg' | 'grad' | 'sym' | 'extrap'
+    value: tp.Any = None  # float, or ("input", idx) for array values
+    sign: float = 1.0     # symmetry sign for the component
+
+
+def _compile_bcs(solver, mesh, wp):
+    """-> (specs, bc_inputs): specs[field][axis][side] = _BCSpec, bc_inputs =
+    list of np arrays fed to the kernel (for non-scalar BC values)."""
+    bc_U, bc_p, bc_T = solver._bcs()
+    bc_inputs: list[np.ndarray] = []
+
+    def make(bc, a, side, comp=None):
+        if isinstance(bc, bcm.ZeroGradient):
+            return _BCSpec("zg")
+        if isinstance(bc, bcm.Symmetry):
+            sign = -1.0 if (comp is not None and comp == a) else 1.0
+            return _BCSpec("sym", sign=sign)
+        if isinstance(bc, bcm.Extrapolated):
+            return _BCSpec("extrap")
+        if isinstance(bc, (bcm.FixedValue, bcm.FixedGradient)):
+            raw = bc.value if isinstance(bc, bcm.FixedValue) else bc.grad
+            v = _eval_static_value(raw, mesh, a, side, vector_comp=comp)
+            kind = "fixed" if isinstance(bc, bcm.FixedValue) else "grad"
+            if v.ndim == 0 or v.size == 1:
+                return _BCSpec(kind, value=float(v.reshape(())))
+            if a != 0:
+                raise NotImplementedError(
+                    "array-valued BCs on axis 1 not supported by fused kernel")
+            # x-side layer over y: full lane width, values at cell lanes 1..ny
+            ny = mesh.shape[1]
+            arr = np.zeros((1, wp), dtype=mesh.dtype)
+            arr[0, 1:ny + 1] = np.broadcast_to(v.reshape(-1), (ny,))
+            bc_inputs.append(arr)
+            return _BCSpec(kind, value=("input", len(bc_inputs) - 1))
+        raise NotImplementedError(bc)
+
+    specs = {}
+    for name, bcs, vec in (("p", bc_p, False), ("T", bc_T, False),
+                           ("ux", bc_U, 0), ("uy", bc_U, 1)):
+        comp = vec if vec is not False else None
+        specs[name] = tuple(
+            tuple(make(bcs[a, side], a, side, comp) for side in (0, 1))
+            for a in range(2)
+        )
+    return specs, bc_inputs
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def build_fused_step(solver, interpret: tp.Optional[bool] = None, **_unused):
+    """Build (step, to_fused, from_fused) for a supported QGDFoam solver.
+
+    step: FusedState -> FusedState, jittable / scannable.
+    to_fused(State) -> FusedState;  from_fused(FusedState) -> State.
+    """
+    from ..solvers.qgd import State
+
+    assert supported(solver), "solver config not supported by the fused kernel"
+    mesh = solver.mesh
+    th = solver.thermo
+    tm = solver.tau_model
+    tc = solver.time
+    nx, M = mesh.shape            # M = ny
+    NR = nx + 2                   # stored rows
+    Wp = max(LANE, -(-(M + 2) // LANE) * LANE)
+    dtype = np.dtype(mesh.dtype)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    f = float
+    dx, dy = f(mesh.dx[0][0]), f(mesh.dx[1][0])
+    vol = dx * dy
+    ax_area, ay_area = dy, dx          # |S_f| per axis (2D)
+    h_cell = f(np.asarray(mesh.h_cell).reshape(-1)[0])
+    hfx, hfy = dx, dy                  # uniform h_face
+    R, Cv, gamma = f(th.R), f(th.Cv), f(th.gamma)
+    Pr_th = f(th.Pr)
+    alpha, Sc, Pr_tau = f(tm.alpha), f(tm.Sc), f(tm.Pr)
+    mu_is_const0 = (isinstance(th.transport, ConstTransport)
+                    and th.transport.mu0 == 0.0)
+
+    specs, bc_inputs_np = _compile_bcs(solver, mesh, Wp)
+    n_bc = len(bc_inputs_np)
+
+    def bc_ghost(spec: _BCSpec, interior, interior2, d, bc_refs):
+        """Ghost layer from its interior neighbours (pad.py `one()` parity)."""
+        if spec.kind == "zg":
+            return interior
+        if spec.kind == "sym":
+            return interior if spec.sign == 1.0 else -interior
+        if spec.kind == "extrap":
+            return 2.0 * interior - interior2
+        if isinstance(spec.value, tuple):
+            v = bc_refs[spec.value[1]][:]
+        else:
+            v = spec.value
+        if spec.kind == "fixed":
+            return 2.0 * v - interior
+        return interior + v * d  # fixedGradient (outward-normal convention)
+
+    def kernel(dt_ref, *refs):
+        ph = refs[0][:]
+        Th = refs[1][:]
+        ux = refs[2][:]
+        uy = refs[3][:]
+        bc_refs = refs[4:4 + n_bc]
+        outs = refs[4 + n_bc:8 + n_bc]
+        dt_out = refs[8 + n_bc]
+
+        # full-frame neighbour access: rotations only (Mosaic-legal)
+        def rup(x):   # rup(x)[r] = x[r+1]
+            return pltpu.roll(x, shift=NR - 1, axis=0)
+
+        def rdn(x):   # rdn(x)[r] = x[r-1]
+            return pltpu.roll(x, shift=1, axis=0)
+
+        def shl(x):   # shl(x)[s] = x[s+1]
+            return pltpu.roll(x, shift=Wp - 1, axis=1)
+
+        def shr(x):   # shr(x)[s] = x[s-1]
+            return pltpu.roll(x, shift=1, axis=1)
+
+        colid = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (NR, 1), 0)
+
+        # ---- pointwise thermo on the padded frame (hePsiQGDThermo) ---------
+        rho = ph / (R * Th)
+        e = Cv * Th
+        c_snd = jnp.sqrt((gamma * R) * Th)
+        rux = rho * ux
+        ruy = rho * uy
+        H = e + 0.5 * (ux * ux + uy * uy) + ph / rho
+        # tau coefficients (constScPrModel1): coefficient fields interpolate
+        # with ZERO-GRADIENT ghosts (`calculated` patches), not primitive BCs
+        # -> override their ghost layers with the interior edge value.
+        aoc = alpha / c_snd
+        mu_eff = ph * Sc * (alpha * h_cell) / c_snd
+        if not mu_is_const0:
+            mm = th.mu(None, Th)
+            alphau_eff = mu_eff / Pr_tau + mm / Pr_th
+            mu_eff = mu_eff + mm
+        else:
+            alphau_eff = mu_eff * (1.0 / Pr_tau)
+
+        def zg_override(fld):
+            fld = jnp.where(colid == 0, fld[:, 1:2],
+                            jnp.where(colid == M + 1, fld[:, M:M + 1], fld))
+            return jnp.where(rowid == 0, fld[1:2, :],
+                             jnp.where(rowid == NR - 1, fld[-2:-1, :], fld))
+
+        aoc = zg_override(aoc)
+        mu_eff = zg_override(mu_eff)
+        alphau_eff = zg_override(alphau_eff)
+
+        # ---- x-faces (axis a=0): face r+1/2 at row r, live rows 0..nx ------
+        def xint(fld):
+            return 0.5 * (fld + rup(fld))
+
+        def xsn(fld):
+            return (rup(fld) - fld) * (1.0 / dx)
+
+        def ytan(fx_):           # central d/dy at cell lanes
+            return (shl(fx_) - shr(fx_)) * (1.0 / (2.0 * dy))
+
+        pfx = xint(ph)
+        rfx = xint(rho)
+        uxfx = xint(ux)
+        uyfx = xint(uy)
+        efx = xint(e)
+        ruxf = xint(rux)
+        ruyf = xint(ruy)
+        Hfx = xint(H)
+        mufx = xint(mu_eff)
+        afx = xint(alphau_eff)
+        taufx = xint(aoc) * hfx
+        urr0x = xint(ux * rux)
+        urr1x = xint(ux * ruy)
+        cfx = xint(c_snd)
+
+        gU00 = xsn(ux); gU01 = xsn(uy)          # dU_j/dx at x-faces
+        gU10 = ytan(uxfx); gU11 = ytan(uyfx)    # dU_j/dy at x-faces
+        gRx = xsn(rho); gRy = ytan(rfx)
+        gPx = xsn(ph); gPy = ytan(pfx)
+        gex = xsn(e); gey = ytan(efx)
+
+        divU = gU00 + gU11
+        u_gradrho = uxfx * gRx + uyfx * gRy
+        rg0 = ruxf * gU00 + ruyf * gU10
+        ws0 = taufx * (u_gradrho * uxfx + ruxf * divU + rg0)
+        jmx = ruxf - (ws0 + taufx * gPx)
+        phiJm_x = jmx * ax_area
+        u_gradp = uxfx * gPx + uyfx * gPy
+        iso = u_gradp + gamma * pfx * divU
+        pi0 = taufx * (urr0x * gU00 + urr1x * gU10 + uxfx * gPx + iso) \
+            + mufx * (2.0 * gU00 - (2.0 / 3.0) * divU)
+        pi1 = taufx * (urr0x * gU01 + urr1x * gU11 + uxfx * gPy) \
+            + mufx * (gU01 + gU10)
+        de0 = gex - (pfx / (rfx * rfx)) * gRx
+        de1 = gey - (pfx / (rfx * rfx)) * gRy
+        qx = -taufx * (urr0x * de0 + urr1x * de1) - afx * gex
+        # axis-x flux sums (area folded in)
+        fx_rho = phiJm_x
+        fx_m0 = phiJm_x * uxfx + ax_area * (pfx - pi0)
+        fx_m1 = phiJm_x * uyfx - ax_area * pi1
+        fx_E = phiJm_x * Hfx + ax_area * (qx - (pi0 * uxfx + pi1 * uyfx))
+
+        # ---- y-faces (axis a=1): face s+1/2 at lane s, live lanes 0..M -----
+        def yint(fld):
+            return 0.5 * (fld + shl(fld))
+
+        def ysn(fld):
+            return (shl(fld) - fld) * (1.0 / dy)
+
+        def xtan(fy_):           # central d/dx at cell rows
+            return (rup(fy_) - rdn(fy_)) * (1.0 / (2.0 * dx))
+
+        pfy = yint(ph)
+        rfy = yint(rho)
+        uxfy = yint(ux)
+        uyfy = yint(uy)
+        efy = yint(e)
+        ruxfy = yint(rux)
+        ruyfy = yint(ruy)
+        Hfy = yint(H)
+        mufy = yint(mu_eff)
+        afy = yint(alphau_eff)
+        taufy = yint(aoc) * hfy
+        urr0y = yint(uy * rux)
+        urr1y = yint(uy * ruy)
+        cfy = yint(c_snd)
+
+        hU10 = ysn(ux); hU11 = ysn(uy)          # dU_j/dy at y-faces
+        hU00 = xtan(uxfy); hU01 = xtan(uyfy)    # dU_j/dx at y-faces
+        hRx = xtan(rfy); hRy = ysn(rho)
+        hPx = xtan(pfy); hPy = ysn(ph)
+        hex = xtan(efy); hey = ysn(e)
+
+        divUy = hU00 + hU11
+        u_gradrho_y = uxfy * hRx + uyfy * hRy
+        rg1y = ruxfy * hU01 + ruyfy * hU11
+        ws1y = taufy * (u_gradrho_y * uyfy + ruyfy * divUy + rg1y)
+        jmy = ruyfy - (ws1y + taufy * hPy)
+        phiJm_y = jmy * ay_area
+        u_gradp_y = uxfy * hPx + uyfy * hPy
+        isoy = u_gradp_y + gamma * pfy * divUy
+        qi0 = taufy * (urr0y * hU00 + urr1y * hU10 + uyfy * hPx) \
+            + mufy * (hU00 + hU10)
+        qi1 = taufy * (urr0y * hU01 + urr1y * hU11 + uyfy * hPy + isoy) \
+            + mufy * (2.0 * hU11 - (2.0 / 3.0) * divUy)
+        he0 = hex - (pfy / (rfy * rfy)) * hRx
+        he1 = hey - (pfy / (rfy * rfy)) * hRy
+        qy = -taufy * (urr0y * he0 + urr1y * he1) - afy * hey
+        fy_rho = phiJm_y
+        fy_m0 = phiJm_y * uxfy - ay_area * qi0
+        fy_m1 = phiJm_y * uyfy + ay_area * (pfy - qi1)
+        fy_E = phiJm_y * Hfy + ay_area * (qy - (qi0 * uxfy + qi1 * uyfy))
+
+        # ---- QGDCourantNo.H + setDeltaT-QGDQHD.H, fully in-kernel --------
+        # (QGDCourantNo_8H_source.html:44-50; setDeltaT-QGDQHD_8H:41-61)
+        dtv = dt_ref[0, 0]
+        live_x = jnp.logical_and(rowid <= nx,
+                                 jnp.logical_and(colid >= 1, colid <= M))
+        live_y = jnp.logical_and(jnp.logical_and(rowid >= 1, rowid <= nx),
+                                 colid <= M)
+        neg = jnp.float32(-np.inf)
+        pos = jnp.float32(np.inf)
+        wave_x = jnp.maximum(jnp.abs(uxfx + cfx), jnp.abs(uxfx - cfx))
+        wave_y = jnp.maximum(jnp.abs(uyfy + cfy), jnp.abs(uyfy - cfy))
+        # scalar dt/h hoisted out of the max — exact (max commutes with
+        # monotone positive scaling)
+        co = jnp.maximum(
+            jnp.max(jnp.where(live_x, wave_x, neg)) * dtv / hfx,
+            jnp.max(jnp.where(live_y, wave_y, neg)) * dtv / hfy)
+        tau_min = jnp.minimum(
+            jnp.min(jnp.where(live_x, taufx, pos)),
+            jnp.min(jnp.where(live_y, taufy, pos)))
+        if tc.adjust_time_step:
+            max_fact = tc.max_co / (co + common.SMALL)
+            fact = jnp.minimum(
+                jnp.minimum(max_fact, 1.0 + 0.1 * max_fact), 1.2)
+            max_dt1 = jnp.minimum(tc.max_dt, tc.c_tau * tau_min)
+            dt_new = jnp.minimum(fact * dtv, max_dt1)
+        else:
+            dt_new = dtv
+        dt_out[:] = jnp.full((8, LANE), dt_new, dtype=dtv.dtype)
+
+        # ---- explicit update (QGDRhoEqn/QGDUEqn/QGDEEqn, 1/V face sums) ----
+        sdt = dt_new * (1.0 / vol)
+
+        def div(fx_, fy_):       # live rows 1..nx, lanes 1..M
+            return (fx_ - rdn(fx_)) + (fy_ - shr(fy_))
+
+        rhon = rho - sdt * div(fx_rho, fy_rho)
+        rux_n = rux - sdt * div(fx_m0, fy_m0)
+        ruy_n = ruy - sdt * div(fx_m1, fy_m1)
+        rhoE = rho * e + 0.5 * rho * (ux * ux + uy * uy)
+        rhoEn = rhoE - sdt * div(fx_E, fy_E)
+
+        inv_rhon = 1.0 / rhon
+        uxn = rux_n * inv_rhon
+        uyn = ruy_n * inv_rhon
+        en = rhoEn * inv_rhon - 0.5 * (uxn * uxn + uyn * uyn)
+        Tn = en * (1.0 / Cv)
+        pn = rhon * R * Tn
+
+        # ---- ghost layers (sequential-axis pad: x rows first from interior
+        # values, then y lanes over all rows — matches ops.pad.ghost_pad) ----
+        fields = {"p": pn, "T": Tn, "ux": uxn, "uy": uyn}
+
+        def col_ghosts(name, arr):
+            lo = bc_ghost(specs[name][1][0], arr[:, 1:2], arr[:, 2:3], dy,
+                          bc_refs)
+            hi = bc_ghost(specs[name][1][1], arr[:, M:M + 1], arr[:, M - 1:M],
+                          dy, bc_refs)
+            return jnp.where(colid == 0, lo,
+                             jnp.where(colid == M + 1, hi, arr))
+
+        for k, name in enumerate(("p", "T", "ux", "uy")):
+            arr = fields[name]
+            # y-ghost lanes for the interior rows (full-frame select), then
+            # x-ghost rows patched by 1-row stores (cheaper than row selects);
+            # each ghost row is itself y-ghosted -> sequential pad semantics.
+            outs[k][:] = col_ghosts(name, arr)
+            glo = bc_ghost(specs[name][0][0], arr[1:2, :], arr[2:3, :],
+                           dx, bc_refs)
+            ghi = bc_ghost(specs[name][0][1], arr[-2:-1, :], arr[-3:-2, :],
+                           dx, bc_refs)
+            outs[k][0:1, :] = col_ghosts(name, glo)
+            outs[k][NR - 1:NR, :] = col_ghosts(name, ghi)
+
+    # ---- pallas_call wrapper ----------------------------------------------
+    fshape = jax.ShapeDtypeStruct((NR, Wp), dtype)
+    bc_inputs = tuple(jnp.asarray(a, dtype=dtype) for a in bc_inputs_np)
+
+    pcall = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 + n_bc),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_shape=[fshape] * 4
+        + [jax.ShapeDtypeStruct((8, LANE), dtype)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )
+
+    W = M + 2
+
+    def step(fs: FusedState) -> FusedState:
+        dts = jnp.reshape(fs.dt.astype(dtype), (1, 1))
+        p2, T2, ux2, uy2, dt_arr = pcall(dts, fs.p, fs.T, fs.ux, fs.uy,
+                                         *bc_inputs)
+        dt_new = dt_arr[0, 0]
+        return FusedState(p=p2, T=T2, ux=ux2, uy=uy2,
+                          t=fs.t + dt_new, dt=dt_new)
+
+    # ---- conversions to/from the composable State --------------------------
+    bc_U, bc_p, bc_T = solver._bcs()
+    from ..ops.pad import ghost_pad
+
+    def _lane_pad(arr):
+        return jnp.pad(arr, ((0, 0), (0, Wp - W)), mode="edge")
+
+    def to_fused(s: State) -> FusedState:
+        U, e, T, p = solver.primitives(s)
+        Upad = ghost_pad(U, bc_U, mesh, t=s.t, vector=True)
+        return FusedState(
+            p=_lane_pad(ghost_pad(p, bc_p, mesh, t=s.t)),
+            T=_lane_pad(ghost_pad(T, bc_T, mesh, t=s.t)),
+            ux=_lane_pad(Upad[0]), uy=_lane_pad(Upad[1]),
+            t=s.t, dt=s.dt,
+        )
+
+    def from_fused(fs: FusedState) -> State:
+        p = fs.p[1:-1, 1:M + 1]
+        T = fs.T[1:-1, 1:M + 1]
+        U = jnp.stack([fs.ux[1:-1, 1:M + 1], fs.uy[1:-1, 1:M + 1]])
+        rho = th.rho_from_p_T(p, T)
+        e = th.e_from_T(T)
+        return State(rho=rho, rhoU=rho[None] * U,
+                     rhoE=rho * e + 0.5 * rho * jnp.sum(U * U, axis=0),
+                     sc=jnp.full_like(rho, tm.Sc), t=fs.t, dt=fs.dt, pbc=())
+
+    return step, to_fused, from_fused

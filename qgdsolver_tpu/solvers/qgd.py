@@ -375,6 +375,24 @@ class QGDFoam:
             return step
         return lambda s: step(s, None)
 
+    # -- fused TPU kernel path ---------------------------------------------
+    def fused_supported(self) -> bool:
+        """True if this config can run on the fused whole-step Pallas kernel
+        (ops.fused_qgd2d): 2D uniform f32 mesh, perfect-gas thermo,
+        constScPrModel1 tau, explicit diffusion, simple static BCs."""
+        from ..ops import fused_qgd2d
+
+        return fused_qgd2d.supported(self)
+
+    def make_fused_step(self, interpret=None):
+        """(step, to_fused, from_fused): single-pallas-kernel step over
+        VMEM-resident fields — see ops.fused_qgd2d for the design.  `step`
+        maps FusedState -> FusedState; use to_fused/from_fused to convert
+        to/from the composable State."""
+        from ..ops import fused_qgd2d
+
+        return fused_qgd2d.build_fused_step(self, interpret=interpret)
+
 
 def eye_vec(phiP_a, a, nd):
     """Embed the scalar normal-pressure flux as the a-component of a vector
