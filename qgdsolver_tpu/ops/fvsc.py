@@ -131,8 +131,27 @@ def grad(field, bcs: bcm.FieldBCs, mesh: Mesh, scheme="full", t=0.0, vector=Fals
     return grad_from_padded(fp, mesh, scheme=scheme)
 
 
+def normalize_scheme(scheme: str, ndim: int) -> str:
+    """Map reference fvsc scheme names onto the structured-mesh kernels.
+
+    On rectilinear bricks leastSquares / leastSquaresOpt / GaussVolPoint all
+    coincide with the tensor-product vertex reconstruction ("full"); the
+    reference forbids leastSquares[Opt] on 3D meshes (fvsc_8C:60-82) and the
+    same guard is kept here for config parity."""
+    aliases = {"leastSquares": "full", "leastSquaresOpt": "full",
+               "GaussVolPoint": "full", "full": "full", "reduced": "reduced"}
+    if scheme not in aliases:
+        raise ValueError(f"unknown fvsc scheme {scheme!r}")
+    if ndim == 3 and scheme in ("leastSquares", "leastSquaresOpt"):
+        raise ValueError(
+            "leastSquares fvsc schemes are forbidden on 3D meshes "
+            "(reference fvsc_8C:60-82); use GaussVolPoint/full")
+    return aliases[scheme]
+
+
 def grad_from_padded(fp, mesh: Mesh, scheme="full"):
     """fvsc::grad of an already ghost-padded array (see `grad`)."""
+    scheme = normalize_scheme(scheme, mesh.ndim)
     nd = mesh.ndim
     out = []
     for a in range(nd):

@@ -54,6 +54,9 @@ class ReactingQGDFoam:
     mesh: Mesh
     mixture: MixtureThermo
     combustion: CombustionModel = NoCombustion()
+    # chemistry integrator for the stiff source (makeChemistrySolversQGD
+    # equivalents: none / EulerImplicit / ode — physics.chemistry)
+    chemistry_solver: tp.Any = None
     tau_model: TauModel = ConstScPrModel1()
     bc_U: tp.Optional[bcm.FieldBCs] = None
     bc_p: tp.Optional[bcm.FieldBCs] = None
@@ -241,7 +244,13 @@ class ReactingQGDFoam:
                 rho_new = rho_new + dt_new * rhoSu
 
             # --- QGDYEqn (combustion + species transport + inert closure)
-            RR, Qdot = self.combustion.correct(mix, Y, rho, T, p)
+            if self.chemistry_solver is not None:
+                RR, Qdot = self.chemistry_solver.rates(
+                    self.combustion, mix, Y, rho, T, p, dt_new)
+            else:
+                from ..physics.chemistry import _call as _comb_call
+                RR, Qdot = _comb_call(self.combustion, mix, Y, rho, T, p,
+                                      dt_new)
             Y_new = [None] * ns
             Yt = 0.0
             for i in range(ns):
