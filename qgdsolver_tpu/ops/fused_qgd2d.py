@@ -214,11 +214,18 @@ def _compile_bcs(solver, mesh, wp):
 # ---------------------------------------------------------------------------
 
 
-def build_fused_step(solver, interpret: tp.Optional[bool] = None, **_unused):
+def build_fused_step(solver, interpret: tp.Optional[bool] = None,
+                     _local_nx: tp.Optional[int] = None,
+                     _distributed: bool = False, **_unused):
     """Build (step, to_fused, from_fused) for a supported QGDFoam solver.
 
     step: FusedState -> FusedState, jittable / scannable.
     to_fused(State) -> FusedState;  from_fused(FusedState) -> State.
+
+    _local_nx/_distributed are internal hooks for the shard_map wrapper
+    (build_sharded_fused_step): the kernel then operates on a LOCAL x-slab,
+    takes (is_lo, is_hi) edge flags + an externally reduced dt, and leaves
+    halo-row exchange to the caller.
     """
     from ..solvers.qgd import State
 
@@ -227,8 +234,9 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None, **_unused):
     th = solver.thermo
     tm = solver.tau_model
     tc = solver.time
-    nx, M = mesh.shape            # M = ny
-    NR = nx + 2                   # stored rows
+    gnx, M = mesh.shape           # M = ny
+    nx = gnx if _local_nx is None else _local_nx
+    NR = nx + 2                   # stored rows (local slab when distributed)
     Wp = max(LANE, -(-(M + 2) // LANE) * LANE)
     dtype = np.dtype(mesh.dtype)
     if interpret is None:
@@ -265,14 +273,14 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None, **_unused):
             return 2.0 * v - interior
         return interior + v * d  # fixedGradient (outward-normal convention)
 
-    def kernel(dt_ref, *refs):
+    def kernel(dt_ref, flag_ref, *refs):
         ph = refs[0][:]
         Th = refs[1][:]
         ux = refs[2][:]
         uy = refs[3][:]
         bc_refs = refs[4:4 + n_bc]
         outs = refs[4 + n_bc:8 + n_bc]
-        dt_out = refs[8 + n_bc]
+        dt_out = None if _distributed else refs[8 + n_bc]
 
         # full-frame neighbour access: rotations only (Mosaic-legal)
         def rup(x):   # rup(x)[r] = x[r+1]
@@ -309,11 +317,22 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None, **_unused):
         else:
             alphau_eff = mu_eff * (1.0 / Pr_tau)
 
+        if _distributed:
+            is_lo = flag_ref[0, 0] == 1
+            is_hi = flag_ref[0, 1] == 1
+        else:
+            is_lo = is_hi = True
+
         def zg_override(fld):
+            # coefficient-field ghost handling: zero-gradient at PHYSICAL
+            # boundaries only — at shard boundaries the halo row carries the
+            # neighbour's true cell value and must pass through
             fld = jnp.where(colid == 0, fld[:, 1:2],
                             jnp.where(colid == M + 1, fld[:, M:M + 1], fld))
-            return jnp.where(rowid == 0, fld[1:2, :],
-                             jnp.where(rowid == NR - 1, fld[-2:-1, :], fld))
+            first = jnp.where(is_lo, fld[1:2, :], fld[0:1, :])
+            last = jnp.where(is_hi, fld[-2:-1, :], fld[-1:, :])
+            return jnp.where(rowid == 0, first,
+                             jnp.where(rowid == NR - 1, last, fld))
 
         aoc = zg_override(aoc)
         mu_eff = zg_override(mu_eff)
@@ -424,32 +443,38 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None, **_unused):
 
         # ---- QGDCourantNo.H + setDeltaT-QGDQHD.H, fully in-kernel --------
         # (QGDCourantNo_8H_source.html:44-50; setDeltaT-QGDQHD_8H:41-61)
+        # distributed mode: dt is globally reduced OUTSIDE (pmax over shards)
+        # and passed in; the in-kernel path is single-chip only
         dtv = dt_ref[0, 0]
-        live_x = jnp.logical_and(rowid <= nx,
-                                 jnp.logical_and(colid >= 1, colid <= M))
-        live_y = jnp.logical_and(jnp.logical_and(rowid >= 1, rowid <= nx),
-                                 colid <= M)
-        neg = jnp.float32(-np.inf)
-        pos = jnp.float32(np.inf)
-        wave_x = jnp.maximum(jnp.abs(uxfx + cfx), jnp.abs(uxfx - cfx))
-        wave_y = jnp.maximum(jnp.abs(uyfy + cfy), jnp.abs(uyfy - cfy))
-        # scalar dt/h hoisted out of the max — exact (max commutes with
-        # monotone positive scaling)
-        co = jnp.maximum(
-            jnp.max(jnp.where(live_x, wave_x, neg)) * dtv / hfx,
-            jnp.max(jnp.where(live_y, wave_y, neg)) * dtv / hfy)
-        tau_min = jnp.minimum(
-            jnp.min(jnp.where(live_x, taufx, pos)),
-            jnp.min(jnp.where(live_y, taufy, pos)))
-        if tc.adjust_time_step:
-            max_fact = tc.max_co / (co + common.SMALL)
-            fact = jnp.minimum(
-                jnp.minimum(max_fact, 1.0 + 0.1 * max_fact), 1.2)
-            max_dt1 = jnp.minimum(tc.max_dt, tc.c_tau * tau_min)
-            dt_new = jnp.minimum(fact * dtv, max_dt1)
-        else:
+        if _distributed:
             dt_new = dtv
-        dt_out[:] = jnp.full((8, LANE), dt_new, dtype=dtv.dtype)
+            dt_out = None
+        else:
+          live_x = jnp.logical_and(rowid <= nx,
+                                   jnp.logical_and(colid >= 1, colid <= M))
+          live_y = jnp.logical_and(jnp.logical_and(rowid >= 1, rowid <= nx),
+                                   colid <= M)
+          neg = jnp.float32(-np.inf)
+          pos = jnp.float32(np.inf)
+          wave_x = jnp.maximum(jnp.abs(uxfx + cfx), jnp.abs(uxfx - cfx))
+          wave_y = jnp.maximum(jnp.abs(uyfy + cfy), jnp.abs(uyfy - cfy))
+          # scalar dt/h hoisted out of the max — exact (max commutes with
+          # monotone positive scaling)
+          co = jnp.maximum(
+              jnp.max(jnp.where(live_x, wave_x, neg)) * dtv / hfx,
+              jnp.max(jnp.where(live_y, wave_y, neg)) * dtv / hfy)
+          tau_min = jnp.minimum(
+              jnp.min(jnp.where(live_x, taufx, pos)),
+              jnp.min(jnp.where(live_y, taufy, pos)))
+          if tc.adjust_time_step:
+              max_fact = tc.max_co / (co + common.SMALL)
+              fact = jnp.minimum(
+                  jnp.minimum(max_fact, 1.0 + 0.1 * max_fact), 1.2)
+              max_dt1 = jnp.minimum(tc.max_dt, tc.c_tau * tau_min)
+              dt_new = jnp.minimum(fact * dtv, max_dt1)
+          else:
+              dt_new = dtv
+          dt_out[:] = jnp.full((8, LANE), dt_new, dtype=dtv.dtype)
 
         # ---- explicit update (QGDRhoEqn/QGDUEqn/QGDEEqn, 1/V face sums) ----
         sdt = dt_new * (1.0 / vol)
@@ -492,6 +517,9 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None, **_unused):
                            dx, bc_refs)
             ghi = bc_ghost(specs[name][0][1], arr[-2:-1, :], arr[-3:-2, :],
                            dx, bc_refs)
+            if _distributed:
+                glo = jnp.where(is_lo, glo, arr[1:2, :])
+                ghi = jnp.where(is_hi, ghi, arr[-2:-1, :])
             outs[k][0:1, :] = col_ghosts(name, glo)
             outs[k][NR - 1:NR, :] = col_ghosts(name, ghi)
 
@@ -499,24 +527,30 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None, **_unused):
     fshape = jax.ShapeDtypeStruct((NR, Wp), dtype)
     bc_inputs = tuple(jnp.asarray(a, dtype=dtype) for a in bc_inputs_np)
 
+    n_out = 4 if _distributed else 5
     pcall = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 + n_bc),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
         out_shape=[fshape] * 4
-        + [jax.ShapeDtypeStruct((8, LANE), dtype)],
+        + ([] if _distributed else [jax.ShapeDtypeStruct((8, LANE), dtype)]),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
     )
+    if _distributed:
+        return pcall
 
     W = M + 2
 
+    ones_flags = jnp.ones((1, 2), dtype=jnp.int32)
+
     def step(fs: FusedState) -> FusedState:
         dts = jnp.reshape(fs.dt.astype(dtype), (1, 1))
-        p2, T2, ux2, uy2, dt_arr = pcall(dts, fs.p, fs.T, fs.ux, fs.uy,
+        p2, T2, ux2, uy2, dt_arr = pcall(dts, ones_flags,
+                                         fs.p, fs.T, fs.ux, fs.uy,
                                          *bc_inputs)
         dt_new = dt_arr[0, 0]
         return FusedState(p=p2, T=T2, ux=ux2, uy=uy2,
@@ -550,3 +584,154 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None, **_unused):
                      sc=jnp.full_like(rho, tm.Sc), t=fs.t, dt=fs.dt, pbc=())
 
     return step, to_fused, from_fused
+
+# ---------------------------------------------------------------------------
+# multi-chip: shard_map over an x-axis device ring
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
+                             interpret: tp.Optional[bool] = None):
+    """Fused step domain-decomposed over the `axis_name` axis of `dmesh`.
+
+    The TPU-native replacement of the reference's MPI decomposition for the
+    fused path: each shard owns an x-slab carried WITH its two halo rows
+    (local arrays (nx/n + 2, Wp)); per step each shard runs the whole-slab
+    VMEM kernel, then exchanges single halo rows with its ring neighbours
+    via jax.lax.ppermute (ICI), and the Courant/tau reductions are
+    jax.lax.pmax/pmin over the axis (SURVEY.md §2.4 equivalence).
+
+    Returns (step, to_sharded, from_sharded):
+      carry = FusedState whose arrays are (n, nx/n + 2, Wp) stacked local
+      slabs, sharded P(axis_name, None, None).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from ..solvers.qgd import State
+
+    assert supported(solver)
+    mesh = solver.mesh
+    th = solver.thermo
+    tm = solver.tau_model
+    tc = solver.time
+    nx, M = mesh.shape
+    n = dmesh.shape[axis_name]
+    assert nx % n == 0, (nx, n)
+    nxl = nx // n
+    NRl = nxl + 2
+    Wp = max(LANE, -(-(M + 2) // LANE) * LANE)
+    dtype = np.dtype(mesh.dtype)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    pcall = build_fused_step(solver, interpret=interpret, _local_nx=nxl,
+                             _distributed=True)
+    specs, bc_inputs_np = _compile_bcs(solver, mesh, Wp)
+    bc_inputs = tuple(jnp.asarray(a, dtype=dtype) for a in bc_inputs_np)
+
+    f = float
+    dx, dy = f(mesh.dx[0][0]), f(mesh.dx[1][0])
+    gamma, R = f(th.gamma), f(th.R)
+    alpha = f(tm.alpha)
+    W = M + 2
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+
+    def local_dt(p_, T_, ux_, uy_, dt):
+        """Masked local Courant/tau partials -> pmax/pmin -> setDeltaT
+        (QGDCourantNo.H + setDeltaT-QGDQHD.H over the decomposed mesh)."""
+        Tl = T_[:, :W]
+        c = jnp.sqrt((gamma * R) * Tl)
+        uxl, uyl = ux_[:, :W], uy_[:, :W]
+        # x-faces (local rows 0..nxl): shared shard faces counted twice, max
+        # is idempotent
+        cfx = 0.5 * (c[:-1] + c[1:])
+        ufx = 0.5 * (uxl[:-1] + uxl[1:])
+        wave_x = (jnp.abs(ufx) + cfx)[:, 1:-1]
+        cfy = 0.5 * (c[:, :-1] + c[:, 1:])
+        ufy = 0.5 * (uyl[:, :-1] + uyl[:, 1:])
+        wave_y = (jnp.abs(ufy) + cfy)[1:-1, :]
+        co = jnp.maximum(jnp.max(wave_x) * dt / dx,
+                         jnp.max(wave_y) * dt / dy)
+        # tau_f with zero-gradient coefficient ghosts at PHYSICAL x edges:
+        # interior halo rows already hold neighbour values; min over faces
+        aoc = alpha / c
+        idx = jax.lax.axis_index(axis_name)
+        lo = jnp.where(idx == 0, aoc[1:2], aoc[0:1])
+        hi = jnp.where(idx == n - 1, aoc[-2:-1], aoc[-1:])
+        aoc = jnp.concatenate([lo, aoc[1:-1], hi], axis=0)
+        aoc = jnp.concatenate([aoc[:, 1:2], aoc[:, 1:-1], aoc[:, -2:-1]],
+                              axis=1)
+        taux = (0.5 * (aoc[:-1] + aoc[1:]) * dx)[:, 1:-1]
+        tauy = (0.5 * (aoc[:, :-1] + aoc[:, 1:]) * dy)[1:-1, :]
+        tau_min = jnp.minimum(jnp.min(taux), jnp.min(tauy))
+        co = jax.lax.pmax(co, axis_name)
+        tau_min = jax.lax.pmin(tau_min, axis_name)
+        return common.set_delta_t(dt, co, tau_min, tc)
+
+    def local_step(pl_, Tl_, uxl_, uyl_, t, dt):
+        p_, T_, ux_, uy_ = pl_[0], Tl_[0], uxl_[0], uyl_[0]
+        idx = jax.lax.axis_index(axis_name)
+        is_lo = (idx == 0).astype(jnp.int32)
+        is_hi = (idx == n - 1).astype(jnp.int32)
+        dt_new = local_dt(p_, T_, ux_, uy_, dt)
+        dts = jnp.reshape(dt_new.astype(dtype), (1, 1))
+        flags = jnp.stack([is_lo, is_hi]).reshape(1, 2)
+        outs = pcall(dts, flags, p_, T_, ux_, uy_, *bc_inputs)
+
+        def exchange(a):
+            # my last interior row -> next shard's halo row 0; my first
+            # interior row -> previous shard's top halo row
+            from_prev = jax.lax.ppermute(a[-2:-1, :], axis_name, fwd)
+            from_next = jax.lax.ppermute(a[1:2, :], axis_name, bwd)
+            row0 = jnp.where(is_lo == 1, a[0:1, :], from_prev)
+            rowN = jnp.where(is_hi == 1, a[-1:, :], from_next)
+            return jnp.concatenate([row0, a[1:-1, :], rowN], axis=0)
+
+        outs = [exchange(a)[None] for a in outs]
+        return (*outs, t + dt_new, dt_new)
+
+    pspec = P(axis_name, None, None)
+    sstep = shard_map(
+        local_step, mesh=dmesh,
+        in_specs=(pspec, pspec, pspec, pspec, P(), P()),
+        out_specs=(pspec, pspec, pspec, pspec, P(), P()),
+        check_rep=False,
+    )
+
+    def step(fs: FusedState) -> FusedState:
+        p2, T2, ux2, uy2, t2, dt2 = sstep(fs.p, fs.T, fs.ux, fs.uy,
+                                          fs.t, fs.dt)
+        return FusedState(p=p2, T=T2, ux=ux2, uy=uy2, t=t2, dt=dt2)
+
+    # ---- conversions --------------------------------------------------------
+    single_step, to_fused1, from_fused1 = build_fused_step(
+        solver, interpret=interpret)
+    del single_step
+
+    def to_sharded(s: State) -> FusedState:
+        fs = to_fused1(s)
+
+        def split(a):
+            # overlapped slabs: slab i rows [i*nxl, i*nxl + NRl) of the
+            # (nx+2)-row padded array
+            return jnp.stack([
+                jax.lax.slice_in_dim(a, i * nxl, i * nxl + NRl, axis=0)
+                for i in range(n)
+            ])
+
+        return FusedState(p=split(fs.p), T=split(fs.T), ux=split(fs.ux),
+                          uy=split(fs.uy), t=fs.t, dt=fs.dt)
+
+    def from_sharded(fs: FusedState) -> State:
+        def join(a):
+            # interior rows of each slab + the two global ghost rows
+            mid = jnp.concatenate([a[i, 1:-1] for i in range(n)], axis=0)
+            return jnp.concatenate([a[0, 0:1], mid, a[-1, -1:]], axis=0)
+
+        flat = FusedState(p=join(fs.p), T=join(fs.T), ux=join(fs.ux),
+                          uy=join(fs.uy), t=fs.t, dt=fs.dt)
+        return from_fused1(flat)
+
+    return step, to_sharded, from_sharded

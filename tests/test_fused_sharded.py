@@ -1,0 +1,50 @@
+"""Sharded fused kernel: serial-vs-sharded bitwise equivalence.
+
+The shard_map + ppermute decomposition of the fused whole-step kernel must
+reproduce the single-shard fused path exactly: every shard computes the same
+face stencils on its halo-carrying slab, the halo rows are exchanged after
+the update, and the Courant/tau reductions are pmax/pmin over the axis
+(SURVEY.md §2.4 — the reference's serial-oracle MPI testing practice).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qgdsolver_tpu import cases
+from qgdsolver_tpu.ops import fused_qgd2d
+from qgdsolver_tpu.parallel import sharding as shd
+
+
+@pytest.mark.parametrize("nshards", [2, 4])
+def test_sharded_fused_matches_serial_bitwise(nshards):
+    if len(jax.devices()) < nshards:
+        pytest.skip("not enough devices")
+    solver, state = cases.supersonic_jet(shape=(64, 32), dtype=np.float32)
+    dmesh = shd.make_device_mesh(jax.devices()[:nshards],
+                                 shape=(nshards, 1), axis_names=("X", "Y"))
+    sstep, to_sh, from_sh = fused_qgd2d.build_sharded_fused_step(
+        solver, dmesh)
+    fstep, to_f, from_f = fused_qgd2d.build_fused_step(solver)
+
+    fs = to_f(state)
+    ss = to_sh(state)
+    jf, js = jax.jit(fstep), jax.jit(sstep)
+    for _ in range(10):
+        fs = jf(fs)
+        ss = js(ss)
+    a, b = from_f(fs), from_sh(ss)
+    for name in ("rho", "rhoU", "rhoE", "t", "dt"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, name)),
+                                      np.asarray(getattr(b, name)), err_msg=name)
+
+
+def test_sharded_roundtrip():
+    solver, state = cases.supersonic_jet(shape=(32, 16), dtype=np.float32)
+    dmesh = shd.make_device_mesh(jax.devices()[:2], shape=(2, 1),
+                                 axis_names=("X", "Y"))
+    _, to_sh, from_sh = fused_qgd2d.build_sharded_fused_step(solver, dmesh)
+    s2 = from_sh(to_sh(state))
+    for name in ("rho", "rhoU", "rhoE"):
+        np.testing.assert_allclose(np.asarray(getattr(state, name)),
+                                   np.asarray(getattr(s2, name)), rtol=1e-6)
