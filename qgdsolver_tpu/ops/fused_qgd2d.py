@@ -301,21 +301,28 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
         # ---- pointwise thermo on the padded frame (hePsiQGDThermo) ---------
         rho = ph / (R * Th)
         e = Cv * Th
-        c_snd = jnp.sqrt((gamma * R) * Th)
+        # one rsqrt feeds c, alpha/c and mu: c = sqrt(gRT) = gRT * rsqrt(gRT)
+        gRT = (gamma * R) * Th
+        rcs = jax.lax.rsqrt(gRT)
+        c_snd = gRT * rcs
         rux = rho * ux
         ruy = rho * uy
-        H = e + 0.5 * (ux * ux + uy * uy) + ph / rho
+        ke = ux * ux + uy * uy
+        H = (Cv + R) * Th + 0.5 * ke   # e + p/rho = Cp*T for perfect gas
         # tau coefficients (constScPrModel1): coefficient fields interpolate
         # with ZERO-GRADIENT ghosts (`calculated` patches), not primitive BCs
         # -> override their ghost layers with the interior edge value.
-        aoc = alpha / c_snd
-        mu_eff = ph * Sc * (alpha * h_cell) / c_snd
+        aoc = alpha * rcs
+        mu_eff = ((Sc * alpha * h_cell) * ph) * rcs
         if not mu_is_const0:
             mm = th.mu(None, Th)
             alphau_eff = mu_eff / Pr_tau + mm / Pr_th
             mu_eff = mu_eff + mm
         else:
-            alphau_eff = mu_eff * (1.0 / Pr_tau)
+            # alphau = mu/Pr is a constant multiple -> apply it to the FACE
+            # values after interpolation instead of carrying a third
+            # coefficient frame through zg_override + 2 interpolations
+            alphau_eff = None
 
         if _distributed:
             is_lo = flag_ref[0, 0] == 1
@@ -336,7 +343,8 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
 
         aoc = zg_override(aoc)
         mu_eff = zg_override(mu_eff)
-        alphau_eff = zg_override(alphau_eff)
+        if alphau_eff is not None:
+            alphau_eff = zg_override(alphau_eff)
 
         # ---- x-faces (axis a=0): face r+1/2 at row r, live rows 0..nx ------
         def xint(fld):
@@ -357,7 +365,8 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
         ruyf = xint(ruy)
         Hfx = xint(H)
         mufx = xint(mu_eff)
-        afx = xint(alphau_eff)
+        afx = (mufx * (1.0 / Pr_tau) if alphau_eff is None
+               else xint(alphau_eff))
         taufx = xint(aoc) * hfx
         urr0x = xint(ux * rux)
         urr1x = xint(ux * ruy)
@@ -409,7 +418,8 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
         ruyfy = yint(ruy)
         Hfy = yint(H)
         mufy = yint(mu_eff)
-        afy = yint(alphau_eff)
+        afy = (mufy * (1.0 / Pr_tau) if alphau_eff is None
+               else yint(alphau_eff))
         taufy = yint(aoc) * hfy
         urr0y = yint(uy * rux)
         urr1y = yint(uy * ruy)
@@ -456,8 +466,9 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
                                    colid <= M)
           neg = jnp.float32(-np.inf)
           pos = jnp.float32(np.inf)
-          wave_x = jnp.maximum(jnp.abs(uxfx + cfx), jnp.abs(uxfx - cfx))
-          wave_y = jnp.maximum(jnp.abs(uyfy + cfy), jnp.abs(uyfy - cfy))
+          # max(|u+c|, |u-c|) = |u| + c for c >= 0
+          wave_x = jnp.abs(uxfx) + cfx
+          wave_y = jnp.abs(uyfy) + cfy
           # scalar dt/h hoisted out of the max — exact (max commutes with
           # monotone positive scaling)
           co = jnp.maximum(
@@ -485,7 +496,7 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
         rhon = rho - sdt * div(fx_rho, fy_rho)
         rux_n = rux - sdt * div(fx_m0, fy_m0)
         ruy_n = ruy - sdt * div(fx_m1, fy_m1)
-        rhoE = rho * e + 0.5 * rho * (ux * ux + uy * uy)
+        rhoE = rho * (e + 0.5 * ke)
         rhoEn = rhoE - sdt * div(fx_E, fy_E)
 
         inv_rhon = 1.0 / rhon
