@@ -202,18 +202,181 @@ class ZoneCombustion(CombustionModel):
     base: CombustionModel
     mask: tp.Any  # (cells) 0/1 array
 
-    def correct(self, mix: MixtureThermo, Y, rho, T, p, dt=None):
-        rr, qdot = _call(self.base, mix, Y, rho, T, p, dt)
+    needs_aux: bool = dataclasses.field(default=True, init=False)
+
+    @property
+    def needs_grad(self):
+        return getattr(self.base, "needs_grad", False)
+
+    def correct(self, mix: MixtureThermo, Y, rho, T, p, dt=None, aux=None):
+        rr, qdot = _call(self.base, mix, Y, rho, T, p, dt, aux=aux)
         m = jnp.asarray(self.mask)
         return tuple(m * r for r in rr), m * qdot
 
 
-def _call(model, mix, Y, rho, T, p, dt):
-    """Invoke correct() passing dt only to models that accept it."""
+def _call(model, mix, Y, rho, T, p, dt, aux=None):
+    """Invoke correct() passing dt/aux only to models that accept them.
+
+    `aux` carries per-step auxiliary fields some families need: gradient-
+    limited models read aux['gradY'] (tuple of (ndim, cells) arrays) and
+    aux['mu_eff']; EDC reads aux['k'], aux['eps'], aux['nu'].  Models that
+    need it declare `needs_grad = True` so the solver only computes
+    gradients when required."""
+    if aux is not None and getattr(model, "needs_aux", False):
+        try:
+            return model.correct(mix, Y, rho, T, p, dt=dt, aux=aux)
+        except TypeError:
+            pass
     try:
         return model.correct(mix, Y, rho, T, p, dt=dt)
     except TypeError:
         return model.correct(mix, Y, rho, T, p)
+
+
+@register("combustion", "EDC")
+@dataclasses.dataclass(frozen=True)
+class EDC(CombustionModel):
+    """Eddy Dissipation Concept (EDCsQGD_8C shim): Magnussen fine-structure
+    scaling of finite-rate kinetics.  gamma_L = Cgamma*(nu*eps/k^2)^(1/4)
+    (fine-structure length fraction), tau* = Ctau*sqrt(nu/eps) (fine-
+    structure residence time); the reacting-fraction multiplier is
+    kappa = gamma_L^expo / (1 - gamma_L^3).
+
+    Turbulence quantities (k, eps, nu) come from aux (per-cell arrays) or
+    the model's scalar defaults — the QGD solvers resolve the flow
+    laminarly, so constants parametrize the sub-cell mixing exactly like
+    the fixed t_mix of EddyDissipation."""
+
+    base: "Laminar"
+    Cgamma: float = 2.1377
+    Ctau: float = 0.4083
+    expo: int = 2          # EDC version exponent (2 = 2005 formulation)
+    k: float = 1.0         # default turbulent kinetic energy [m^2/s^2]
+    eps: float = 1e3       # default dissipation rate [m^2/s^3]
+    nu: float = 1.5e-5     # default kinematic viscosity [m^2/s]
+    needs_aux: bool = dataclasses.field(default=True, init=False)
+
+    def correct(self, mix: MixtureThermo, Y, rho, T, p, dt=None, aux=None):
+        aux = aux or {}
+        k = aux.get("k", self.k)
+        eps = aux.get("eps", self.eps)
+        nu = aux.get("nu", self.nu)
+        gammaL = jnp.clip(
+            self.Cgamma * jnp.power(nu * eps / jnp.maximum(k * k, 1e-30),
+                                    0.25), 0.0, 0.999)
+        kappa = jnp.power(gammaL, self.expo) / (1.0 - gammaL ** 3)
+        rr, qdot = self.base.correct(mix, Y, rho, T, p)
+        return tuple(kappa * r for r in rr), kappa * qdot
+
+
+@register("combustion", "FSD")
+@dataclasses.dataclass(frozen=True)
+class FSD(CombustionModel):
+    """Flame Surface Density model (FSDsQGD_8C shim): premixed burn rate
+    omega = rho_u * S_L * Xi * Sigma * Y_F0 from an algebraic FSD closure
+    Sigma = 4 c (1 - c) / delta_L over the progress variable
+    c = 1 - Y_F/Y_F0 (peak 1/delta_L at c = 1/2)."""
+
+    fuel: int
+    oxidizer: int
+    products: tp.Tuple[tp.Tuple[int, float], ...]
+    s: float               # stoichiometric oxidizer/fuel mass ratio
+    YF0: float             # unburnt fuel mass fraction
+    S_L: float             # laminar flame speed [m/s]
+    delta_L: float         # laminar flame thickness [m]
+    rho_u: float           # unburnt density [kg/m^3]
+    Xi: float = 1.0        # wrinkling factor
+    q_fuel: float = 0.0
+
+    def correct(self, mix: MixtureThermo, Y, rho, T, p, dt=None):
+        ns = mix.n_species
+        c = jnp.clip(1.0 - jnp.maximum(Y[self.fuel], 0.0) / self.YF0,
+                     0.0, 1.0)
+        sigma_fsd = 4.0 * c * (1.0 - c) / self.delta_L
+        rate = self.rho_u * self.S_L * self.Xi * sigma_fsd * self.YF0
+        # flame exists only where both reactants remain
+        rate = rate * (Y[self.fuel] > 0.0) * (Y[self.oxidizer] > 0.0)
+        rr = [jnp.zeros_like(T) for _ in range(ns)]
+        rr[self.fuel] = -rate
+        rr[self.oxidizer] = -self.s * rate
+        for i, yield_i in self.products:
+            rr[i] = rr[i] + yield_i * rate
+        return tuple(rr), self.q_fuel * rate
+
+
+@register("combustion", "diffusion")
+@dataclasses.dataclass(frozen=True)
+class Diffusion(CombustionModel):
+    """diffusion family (diffusionsQGD_8C shim): single-step diffusion-
+    limited rate R_F = C * mu_eff * |grad(Y_F) . grad(Y_O)| — fuel and
+    oxidizer burn where their gradients interleave (the flame sheet).
+    Requires aux['gradY'] (from fvsc.grad_cell) and aux['mu_eff']."""
+
+    fuel: int
+    oxidizer: int
+    products: tp.Tuple[tp.Tuple[int, float], ...]
+    s: float
+    C: float = 500.0
+    q_fuel: float = 0.0
+    needs_grad: bool = dataclasses.field(default=True, init=False)
+    needs_aux: bool = dataclasses.field(default=True, init=False)
+
+    def correct(self, mix: MixtureThermo, Y, rho, T, p, dt=None, aux=None):
+        ns = mix.n_species
+        aux = aux or {}
+        gY = aux.get("gradY")
+        if gY is None:
+            raise ValueError("diffusion combustion model needs aux['gradY']")
+        mu_eff = aux.get("mu_eff", 1e-5)
+        dot = jnp.sum(gY[self.fuel] * gY[self.oxidizer], axis=0)
+        rate = self.C * mu_eff * jnp.abs(dot)
+        # gate on both reactants being present
+        rate = rate * (Y[self.fuel] > 0.0) * (Y[self.oxidizer] > 0.0)
+        rr = [jnp.zeros_like(T) for _ in range(ns)]
+        rr[self.fuel] = -rate
+        rr[self.oxidizer] = -self.s * rate
+        for i, yield_i in self.products:
+            rr[i] = rr[i] + yield_i * rate
+        return tuple(rr), self.q_fuel * rate
+
+
+@register("combustion", "diffusionMulticomponent")
+@dataclasses.dataclass(frozen=True)
+class DiffusionMulticomponent(CombustionModel):
+    """diffusionMulticomponent family: one diffusion-limited flame sheet per
+    (fuel_i, oxidizer_i) pair with per-pair rate constants Ci and
+    stoichiometry si, summed over pairs (diffusionMulticomponentsQGD_8C)."""
+
+    pairs: tp.Tuple[tp.Tuple[int, int], ...]      # (fuel, oxidizer) indices
+    si: tp.Tuple[float, ...]                      # per-pair mass stoich
+    Ci: tp.Tuple[float, ...]                      # per-pair rate constants
+    products: tp.Tuple[tp.Tuple[int, float], ...]  # shared product yields
+    q_fuel: tp.Tuple[float, ...] = ()
+    needs_grad: bool = dataclasses.field(default=True, init=False)
+    needs_aux: bool = dataclasses.field(default=True, init=False)
+
+    def correct(self, mix: MixtureThermo, Y, rho, T, p, dt=None, aux=None):
+        ns = mix.n_species
+        aux = aux or {}
+        gY = aux.get("gradY")
+        if gY is None:
+            raise ValueError(
+                "diffusionMulticomponent needs aux['gradY']")
+        mu_eff = aux.get("mu_eff", 1e-5)
+        rr = [jnp.zeros_like(T) for _ in range(ns)]
+        qdot = jnp.zeros_like(T)
+        qf = self.q_fuel or (0.0,) * len(self.pairs)
+        for (fi, oi), s, C, q in zip(self.pairs, self.si, self.Ci, qf):
+            dot = jnp.sum(gY[fi] * gY[oi], axis=0)
+            rate = C * mu_eff * jnp.abs(dot)
+            rate = rate * (Y[fi] > 0.0) * (Y[oi] > 0.0)
+            rr[fi] = rr[fi] - rate
+            rr[oi] = rr[oi] - s * rate
+            total = (1.0 + s) * rate
+            for i, yield_i in self.products:
+                rr[i] = rr[i] + yield_i * total
+            qdot = qdot + q * rate
+        return tuple(rr), qdot
 
 
 # ---------------------------------------------------------------------------
@@ -232,8 +395,8 @@ class ChemistrySolver:
 class DirectRates(ChemistrySolver):
     """noChemistrySolver: instantaneous rates, no sub-integration."""
 
-    def rates(self, model, mix, Y, rho, T, p, dt):
-        return _call(model, mix, Y, rho, T, p, dt)
+    def rates(self, model, mix, Y, rho, T, p, dt, aux=None):
+        return _call(model, mix, Y, rho, T, p, dt, aux=aux)
 
 
 @register("chemistrySolver", "EulerImplicit")
@@ -246,12 +409,12 @@ class SubcycledEuler(ChemistrySolver):
 
     n_sub: int = 8
 
-    def rates(self, model, mix, Y, rho, T, p, dt):
+    def rates(self, model, mix, Y, rho, T, p, dt, aux=None):
         h = dt / self.n_sub
         Yc = list(Y)
         q_acc = 0.0
         for _ in range(self.n_sub):
-            rr, qdot = _call(model, mix, tuple(Yc), rho, T, p, h)
+            rr, qdot = _call(model, mix, tuple(Yc), rho, T, p, h, aux=aux)
             for i in range(mix.n_species):
                 Yc[i] = Yc[i] + h * rr[i] / rho
             q_acc = q_acc + qdot
@@ -266,12 +429,12 @@ class SubcycledRK4(ChemistrySolver):
 
     n_sub: int = 4
 
-    def rates(self, model, mix, Y, rho, T, p, dt):
+    def rates(self, model, mix, Y, rho, T, p, dt, aux=None):
         ns = mix.n_species
         h = dt / self.n_sub
 
         def f(Yc):
-            rr, qdot = _call(model, mix, tuple(Yc), rho, T, p, h)
+            rr, qdot = _call(model, mix, tuple(Yc), rho, T, p, h, aux=aux)
             return [r / rho for r in rr], qdot
 
         Yc = list(Y)
@@ -286,3 +449,208 @@ class SubcycledRK4(ChemistrySolver):
             q_acc = q_acc + q1
         rr_eff = tuple((Yc[i] - Y[i]) * rho / dt for i in range(ns))
         return rr_eff, q_acc / self.n_sub
+
+
+# ---------------------------------------------------------------------------
+# TDAC: mechanism reduction + tabulation (makeChemistryReductionMethodsQGD_8C,
+# makeChemistryTabulationMethodsQGD_8C, TDAC path of
+# BasicChemistryModelsQGD_8C:48-60).
+#
+# TPU-native stance: OpenFOAM's TDAC reduces the mechanism PER CELL each step
+# and tabulates ODE solutions in a binary tree — both are data-dependent
+# control flow that cannot live inside an XLA-compiled step.  Here reduction
+# runs at TRACE TIME against a reference state (the mechanism the compiled
+# step integrates is the pruned one — the compile-once analogue of DAC), and
+# ISAT-style tabulation is a host-side cache for eager/driver-loop use where
+# the kinetics subset evaluation is numpy-cheap.
+# ---------------------------------------------------------------------------
+
+
+class ChemistryReduction:
+    """Base: reduce(mix, reactions, Y0, T0, p0) -> (reactions', active)."""
+
+
+@register("chemistryReduction", "none")
+@dataclasses.dataclass(frozen=True)
+class NoReduction(ChemistryReduction):
+    def reduce(self, mix, reactions, Y0, T0, p0):
+        return tuple(reactions), tuple(range(mix.n_species))
+
+
+@register("chemistryReduction", "DRG")
+@dataclasses.dataclass(frozen=True)
+class DRG(ChemistryReduction):
+    """Directed Relation Graph reduction at a reference state: interaction
+    coefficient r_AB = sum_{i: B in rxn i} |nu_Ai w_i| / sum_i |nu_Ai w_i|;
+    BFS from `targets` keeps every specie reachable through edges with
+    r >= threshold; reactions touching a removed specie are pruned."""
+
+    targets: tp.Tuple[int, ...]
+    threshold: float = 0.01
+
+    def reduce(self, mix, reactions, Y0, T0, p0):
+        import numpy as _np
+
+        ns = mix.n_species
+        conc = [max(float(Y0[i]), 0.0) * float(p0) /
+                (R_UNIVERSAL * float(T0) * mix.species[i].W)
+                for i in range(ns)]
+        # per-reaction rates at the reference state (scalar numpy math)
+        w = []
+        for rxn in reactions:
+            k = rxn.A * float(T0) ** rxn.beta * _np.exp(
+                -rxn.Ta / max(float(T0), 1.0))
+            for i, nu in rxn.lhs:
+                k *= max(conc[i], 0.0) ** nu
+            w.append(abs(k))
+        # denominator: total production/consumption per specie
+        denom = _np.zeros(ns)
+        nu_net = []
+        for rxn, wi in zip(reactions, w):
+            nus = {}
+            for i, nu in rxn.lhs:
+                nus[i] = nus.get(i, 0.0) - nu
+            for i, nu in rxn.rhs:
+                nus[i] = nus.get(i, 0.0) + nu
+            nu_net.append(nus)
+            for i, nu in nus.items():
+                denom[i] += abs(nu * wi)
+        # r[A][B]: A depends on B
+        r = _np.zeros((ns, ns))
+        for rxn, wi, nus in zip(reactions, w, nu_net):
+            involved = set(nus) | {i for i, _ in rxn.lhs}
+            for A, nuA in nus.items():
+                if denom[A] <= 0.0:
+                    continue
+                for B in involved:
+                    if B != A:
+                        r[A, B] = max(r[A, B], abs(nuA * wi) / denom[A])
+        # BFS from targets over edges r >= threshold
+        keep = set(self.targets)
+        frontier = list(self.targets)
+        while frontier:
+            A = frontier.pop()
+            for B in range(ns):
+                if B not in keep and r[A, B] >= self.threshold:
+                    keep.add(B)
+                    frontier.append(B)
+        pruned = tuple(
+            rxn for rxn in reactions
+            if all(i in keep for i, _ in rxn.lhs)
+            and all(i in keep for i, _ in rxn.rhs)
+        )
+        return pruned, tuple(sorted(keep))
+
+
+class ChemistryTabulation:
+    """Base: host-side retrieve/grow cache of integrated rates."""
+
+
+@register("chemistryTabulation", "none")
+@dataclasses.dataclass(frozen=True)
+class NoTabulation(ChemistryTabulation):
+    def rates(self, compute, mix, Y, rho, T, p, dt):
+        return compute(Y, rho, T, p, dt)
+
+
+@register("chemistryTabulation", "ISAT")
+class ISAT(ChemistryTabulation):
+    """ISAT-style tabulation (host/eager path only): cells are keyed by
+    their (T, p, Y) quantized to `tol` relative steps; only cells whose key
+    misses the table get the kinetics evaluated (pointwise, on the miss
+    subset), and results are stored for retrieval.  `max_size` evicts
+    nothing — the table is cleared wholesale when full (OpenFOAM ISAT's
+    maxNLeafs -> clear behaviour)."""
+
+    def __init__(self, tol: float = 1e-3, max_size: int = 100000):
+        self.tol = tol
+        self.max_size = max_size
+        self.table: dict = {}
+        self.hits = 0
+        self.misses = 0
+
+    def _keys(self, Y, T, p):
+        import numpy as _np
+
+        q = [_np.round(_np.log(_np.maximum(_np.asarray(T, dtype=_np.float64)
+                                           .reshape(-1), 1e-300))
+                       / self.tol).astype(_np.int64),
+             _np.round(_np.log(_np.maximum(_np.asarray(p, dtype=_np.float64)
+                                           .reshape(-1), 1e-300))
+                       / self.tol).astype(_np.int64)]
+        for Yi in Y:
+            q.append(_np.round(_np.asarray(Yi, dtype=_np.float64)
+                               .reshape(-1) / self.tol).astype(_np.int64))
+        return list(zip(*(arr.tolist() for arr in q)))
+
+    def rates(self, compute, mix, Y, rho, T, p, dt):
+        import numpy as _np
+        import jax.core as _jc
+
+        if any(isinstance(x, _jc.Tracer) for x in (T, p, *Y)):
+            # inside jit: tabulation is a host-side optimisation only
+            return compute(Y, rho, T, p, dt)
+        ns = mix.n_species
+        shape = _np.asarray(T).shape
+        keys = self._keys(Y, T, p)
+        ncells = len(keys)
+        miss_idx = [i for i, k in enumerate(keys) if k not in self.table]
+        if miss_idx:
+            if len(self.table) > self.max_size:
+                self.table.clear()
+            flat = lambda x: _np.asarray(x, dtype=_np.float64).reshape(-1)
+            sel = _np.asarray(miss_idx)
+            Ym = tuple(flat(Yi)[sel] for Yi in Y)
+            rr_m, q_m = compute(Ym, flat(rho)[sel], flat(T)[sel],
+                                flat(p)[sel], dt)
+            rr_m = [_np.asarray(r) for r in rr_m]
+            q_m = _np.asarray(q_m)
+            for j, i in enumerate(miss_idx):
+                self.table[keys[i]] = (
+                    tuple(float(r[j]) for r in rr_m), float(q_m[j]))
+        self.misses += len(miss_idx)
+        self.hits += ncells - len(miss_idx)
+        rr_out = _np.zeros((ns, ncells))
+        q_out = _np.zeros(ncells)
+        for i, k in enumerate(keys):
+            vals, qv = self.table[k]
+            rr_out[:, i] = vals
+            q_out[i] = qv
+        return (tuple(jnp.asarray(rr_out[i].reshape(shape))
+                      for i in range(ns)),
+                jnp.asarray(q_out.reshape(shape)))
+
+
+@register("chemistrySolver", "TDAC")
+@dataclasses.dataclass(frozen=True)
+class TDACChemistrySolver(ChemistrySolver):
+    """TDAC wrapper around a base integrator: static DRG mechanism pruning
+    (applied to Laminar-kinetics models at build/trace time against
+    `ref_state` = (Y0, T0, p0)) + optional ISAT tabulation of the
+    integrated rates (host/eager path)."""
+
+    base: ChemistrySolver
+    reduction: tp.Optional[ChemistryReduction] = None
+    tabulation: tp.Optional[ChemistryTabulation] = None
+    ref_state: tp.Optional[tuple] = None
+
+    def _pruned(self, model, mix):
+        if self.reduction is None or self.ref_state is None:
+            return model
+        Y0, T0, p0 = self.ref_state
+        if isinstance(model, Laminar):
+            rxns, _ = self.reduction.reduce(mix, model.reactions, Y0, T0, p0)
+            return dataclasses.replace(model, reactions=rxns)
+        if isinstance(model, (PaSR, EDC)):
+            return dataclasses.replace(
+                model, base=self._pruned(model.base, mix))
+        return model
+
+    def rates(self, model, mix, Y, rho, T, p, dt, aux=None):
+        model = self._pruned(model, mix)
+        if self.tabulation is not None:
+            def compute(Yc, rhoc, Tc, pc, dtc):
+                return self.base.rates(model, mix, Yc, rhoc, Tc, pc, dtc,
+                                       aux=aux)
+            return self.tabulation.rates(compute, mix, Y, rho, T, p, dt)
+        return self.base.rates(model, mix, Y, rho, T, p, dt, aux=aux)

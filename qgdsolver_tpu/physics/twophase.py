@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.mesh import Mesh
@@ -67,10 +68,63 @@ def delta_n(mesh: Mesh) -> float:
         mesh.cell_volume, mesh.shape))))
 
 
+@dataclasses.dataclass(frozen=True)
+class ContactAngle:
+    """Wall contact-angle spec (constant/dynamicAlphaContactAngle BCs used
+    by qInterfaceProperties::correctContactAngle,
+    qInterfaceProperties_8H_source.html:74-144).
+
+    theta0 in RADIANS.  Dynamic variant (uTheta > 0):
+    theta = theta0 + (thetaA - thetaR) * tanh(u_wall / uTheta)."""
+
+    theta0: float
+    uTheta: float = 0.0
+    thetaA: float = 0.0
+    thetaR: float = 0.0
+
+    def theta(self, u_wall=0.0):
+        if self.uTheta <= 0.0:
+            return self.theta0
+        return self.theta0 + (self.thetaA - self.thetaR) * jnp.tanh(
+            jnp.asarray(u_wall) / self.uTheta)
+
+
+def _apply_contact_angle(n_hat_f, contact_angles, mesh, u_wall):
+    """correctContactAngle on a structured brick mesh: at a wall on (axis a,
+    side s) the corrected UNIT interface normal satisfies nHat.nf = cos
+    (theta) with nf the OUTWARD wall normal, so the wall-face normal flux is
+    +/- cos(theta)*|Sf| directly (the tangential part does not enter nHatf).
+    The reference rotation nHat' = a*nf + b*nHat (with a, b solved so that
+    |nHat'| = 1) lands exactly on nHat'.nf = cos(theta) — see
+    interfaceProperties::correctContactAngle: a + b*a12 = b1 = cos(theta) —
+    so the wall-face flux needs no knowledge of the tangential part."""
+    nd = mesh.ndim
+    out = list(n_hat_f)
+    for (a, side), ca in contact_angles.items():
+        th = ca.theta(u_wall.get((a, side), 0.0)
+                      if isinstance(u_wall, dict) else u_wall)
+        cosv = jnp.cos(th)
+        f = out[a]
+        ax = f.ndim - nd + a
+        n = f.shape[ax]
+        idx = 0 if side == 0 else n - 1
+        layer = jax.lax.index_in_dim(f, idx, axis=ax, keepdims=True)
+        # outward normal at the lo side is -e_a: nHat.(+e_a) = -cos(theta)
+        orient = -1.0 if side == 0 else 1.0
+        new_layer = (orient * cosv * mesh.face_area(a)
+                     * jnp.ones_like(layer))
+        iota = jax.lax.broadcasted_iota(jnp.int32, f.shape, ax)
+        out[a] = jnp.where(iota == idx, new_layer, f)
+    return tuple(out)
+
+
 def interface_properties(alpha1, bc_alpha, mesh: Mesh, sigma: float,
-                         t=0.0) -> Interface:
+                         t=0.0, contact_angles=None,
+                         u_wall=0.0) -> Interface:
     """nHatf, curvature and surface-tension force
-    (qInterfaceProperties_8C:111-157, 223-227)."""
+    (qInterfaceProperties_8C:111-157, 223-227).  `contact_angles` maps
+    (axis, side) -> ContactAngle for wall patches; `u_wall` is the wall
+    slip speed (scalar, or {(axis, side): value}) for the dynamic variant."""
     nd = mesh.ndim
     dN = delta_n(mesh)
     grad_a = fvsc.grad_cell(alpha1, bc_alpha, mesh, t=t)  # (d, cells)
@@ -81,6 +135,9 @@ def interface_properties(alpha1, bc_alpha, mesh: Mesh, sigma: float,
         g = grad_af[a]
         mag = jnp.sqrt(jnp.sum(g * g, axis=0)) + dN
         n_hat_f.append(g[a] / mag * mesh.face_area(a))  # nHat & Sf
+    if contact_angles:
+        n_hat_f = list(_apply_contact_angle(tuple(n_hat_f), contact_angles,
+                                            mesh, u_wall))
     K = -fvsc.div_flux(tuple(n_hat_f), mesh)
     sigK_f = fvsc.interpolate(sigma * K, bc_zg, mesh)
     sn_a = fvsc.sn_grad(alpha1, bc_alpha, mesh, t=t)

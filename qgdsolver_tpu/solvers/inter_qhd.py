@@ -59,6 +59,9 @@ class InterQHDFoam:
     cg_maxiter: int = 1000
     fvsc_scheme: str = "full"
     mules_n_iter: int = 3
+    # wall contact angles: {(axis, side): twophase.ContactAngle}
+    # (qInterfaceProperties::correctContactAngle equivalent)
+    contact_angles: tp.Optional[dict] = None
 
     def _bcs(self):
         nd = self.mesh.ndim
@@ -109,7 +112,8 @@ class InterQHDFoam:
             mu = pr.mu(alpha1)
 
             # ---- thermo.correct(): interface machinery -------------------
-            iface = interface_properties(alpha1, bc_a, mesh, pr.sigma, t=t)
+            iface = interface_properties(alpha1, bc_a, mesh, pr.sigma, t=t,
+                                         contact_angles=self.contact_angles)
 
             # ---- updateFields.H ------------------------------------------
             gradUf = fvsc.grad(U, bc_U, mesh, scheme=scheme, t=t, vector=True)

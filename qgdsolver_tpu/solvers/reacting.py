@@ -244,13 +244,22 @@ class ReactingQGDFoam:
                 rho_new = rho_new + dt_new * rhoSu
 
             # --- QGDYEqn (combustion + species transport + inert closure)
+            # gradient-limited families (diffusion/diffusionMulticomponent)
+            # and EDC read auxiliary fields; computed only when declared
+            aux = None
+            if getattr(self.combustion, "needs_aux", False):
+                aux = {"mu_eff": mu_eff}
+                if getattr(self.combustion, "needs_grad", False):
+                    aux["gradY"] = tuple(
+                        fvsc.grad_cell(Y[i], _bc_species(bc_Y, i), mesh, t=t)
+                        for i in range(ns))
             if self.chemistry_solver is not None:
                 RR, Qdot = self.chemistry_solver.rates(
-                    self.combustion, mix, Y, rho, T, p, dt_new)
+                    self.combustion, mix, Y, rho, T, p, dt_new, aux=aux)
             else:
                 from ..physics.chemistry import _call as _comb_call
                 RR, Qdot = _comb_call(self.combustion, mix, Y, rho, T, p,
-                                      dt_new)
+                                      dt_new, aux=aux)
             Y_new = [None] * ns
             Yt = 0.0
             for i in range(ns):

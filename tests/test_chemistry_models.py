@@ -129,3 +129,135 @@ def test_fvsc_scheme_aliases_and_3d_guard():
                    scheme="full")
     for a in range(2):
         np.testing.assert_array_equal(np.asarray(g1[a]), np.asarray(g2[a]))
+
+
+def test_new_families_registered():
+    got = set(available("combustion"))
+    assert {"EDC", "FSD", "diffusion", "diffusionMulticomponent"} <= got
+    assert {"none", "DRG"} <= set(available("chemistryReduction"))
+    assert {"none", "ISAT"} <= set(available("chemistryTabulation"))
+    assert "TDAC" in set(available("chemistrySolver"))
+
+
+def test_edc_fine_structure_scaling():
+    mix = _mix()
+    Y, rho, T, p = _state(mix)
+    rxn = chem.Reaction(lhs=((0, 1.0), (1, 2.0)), rhs=((2, 1.0),),
+                        A=1e8, beta=0.0, Ta=10000.0)
+    lam = chem.Laminar(reactions=(rxn,))
+    rr_lam, q_lam = lam.correct(mix, Y, rho, T, p)
+    edc = chem.EDC(base=lam, k=1.0, eps=1e3, nu=1.5e-5)
+    rr_e, q_e = edc.correct(mix, Y, rho, T, p)
+    # kappa = gammaL^2/(1-gammaL^3) with gammaL well inside (0, 1)
+    gl = 2.1377 * (1.5e-5 * 1e3) ** 0.25
+    kappa = gl ** 2 / (1.0 - gl ** 3)
+    for a, b in zip(rr_e, rr_lam):
+        np.testing.assert_allclose(np.asarray(a), kappa * np.asarray(b),
+                                   rtol=1e-5)
+    np.testing.assert_allclose(float(q_e[0, 0]), kappa * float(q_lam[0, 0]),
+                               rtol=1e-5)
+
+
+def test_fsd_burns_at_flame_front_only():
+    mix = _mix()
+    Y, rho, T, p = _state(mix)
+    fsd = chem.FSD(fuel=0, oxidizer=1, products=((2, 5.0),), s=4.0,
+                   YF0=0.05, S_L=0.4, delta_L=5e-4, rho_u=1.2, q_fuel=5e7)
+    # fully unburnt (c=0) and fully burnt (c=1) -> zero rate
+    Y_unburnt = (jnp.full((4, 4), 0.05), Y[1], Y[2], Y[3])
+    rr_u, _ = fsd.correct(mix, Y_unburnt, rho, T, p)
+    np.testing.assert_allclose(np.asarray(rr_u[0]), 0.0, atol=1e-10)
+    # half-burnt (c = 1/2) -> peak rate rho_u*S_L*YF0/delta_L
+    Y_half = (jnp.full((4, 4), 0.025), Y[1], Y[2], Y[3])
+    rr_h, q_h = fsd.correct(mix, Y_half, rho, T, p)
+    peak = 1.2 * 0.4 * 0.05 / 5e-4  # * 4*c*(1-c) = 1 at c=0.5
+    np.testing.assert_allclose(np.asarray(rr_h[0]), -peak, rtol=1e-5)
+    assert float(q_h[0, 0]) > 0.0
+
+
+def test_diffusion_model_flame_sheet():
+    mix = _mix()
+    Y, rho, T, p = _state(mix)
+    nd = 2
+    # opposing gradients of F and O -> negative dot product, |dot| drives rate
+    gF = jnp.stack([jnp.full((4, 4), 2.0), jnp.zeros((4, 4))])
+    gO = jnp.stack([jnp.full((4, 4), -3.0), jnp.zeros((4, 4))])
+    gzero = jnp.zeros((nd, 4, 4))
+    aux = {"gradY": (gF, gO, gzero, gzero), "mu_eff": jnp.full((4, 4), 1e-5)}
+    model = chem.Diffusion(fuel=0, oxidizer=1, products=((2, 5.0),), s=4.0,
+                           C=500.0, q_fuel=5e7)
+    assert model.needs_grad and model.needs_aux
+    RR, Qdot = model.correct(mix, Y, rho, T, p, dt=1e-3, aux=aux)
+    np.testing.assert_allclose(np.asarray(RR[0]), -500.0 * 1e-5 * 6.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sum(RR)), 0.0, atol=1e-8)
+
+    multi = chem.DiffusionMulticomponent(
+        pairs=((0, 1),), si=(4.0,), Ci=(500.0,), products=((2, 1.0),),
+        q_fuel=(5e7,))
+    RRm, _ = multi.correct(mix, Y, rho, T, p, dt=1e-3, aux=aux)
+    np.testing.assert_allclose(np.asarray(RRm[0]), np.asarray(RR[0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sum(RRm)), 0.0, atol=1e-8)
+
+
+def test_drg_reduction_prunes_uncoupled_species():
+    mix = _mix()
+    # two reactions: F+O->P (fast) and a negligible N-path with tiny rate
+    r1 = chem.Reaction(lhs=((0, 1.0), (1, 2.0)), rhs=((2, 1.0),),
+                       A=1e8, beta=0.0, Ta=1000.0)
+    r2 = chem.Reaction(lhs=((3, 1.0),), rhs=((1, 28.0 / 32.0),),
+                       A=1e-20, beta=0.0, Ta=0.0)
+    Y0 = (0.05, 0.2, 0.05, 0.7)
+    drg = chem.DRG(targets=(0,), threshold=0.01)
+    pruned, keep = drg.reduce(mix, (r1, r2), Y0, 1500.0, 1e5)
+    assert r1 in pruned and r2 not in pruned
+    assert 0 in keep and 1 in keep and 2 in keep and 3 not in keep
+
+
+def test_tdac_solver_with_isat_tabulation_matches_direct():
+    mix = _mix()
+    Y, rho, T, p = _state(mix)
+    rxn = chem.Reaction(lhs=((0, 1.0),), rhs=((2, 16.0 / 44.0),),
+                        A=2000.0, beta=0.0, Ta=0.0)
+    lam = chem.Laminar(reactions=(rxn,))
+    base = chem.SubcycledEuler(n_sub=16)
+    isat = chem.ISAT(tol=1e-4)
+    tdac = chem.TDACChemistrySolver(
+        base=base, reduction=chem.DRG(targets=(0,), threshold=0.01),
+        tabulation=isat, ref_state=((0.05, 0.2, 0.05, 0.7), 1500.0, 1e5))
+    rr_ref, q_ref = base.rates(lam, mix, Y, rho, T, p, 1e-3)
+    rr_t, q_t = tdac.rates(lam, mix, Y, rho, T, p, 1e-3)
+    for a, b in zip(rr_t, rr_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-8)
+    # second identical call: every cell retrieved from the table
+    h0 = isat.hits
+    tdac.rates(lam, mix, Y, rho, T, p, 1e-3)
+    assert isat.hits > h0 and isat.misses == 16  # 16 cells, uniform state
+
+
+def test_contact_angle_sets_wall_normal_flux():
+    import jax.numpy as jnp
+    from qgdsolver_tpu.core.mesh import Mesh
+    from qgdsolver_tpu.core import bc as bcm
+    from qgdsolver_tpu.physics import twophase as tp2
+
+    mesh = Mesh.uniform((8, 8), lengths=(1.0, 1.0), dtype=np.float64)
+    # vertical interface: alpha varies along x only
+    x = (np.arange(8) + 0.5) / 8.0
+    alpha = jnp.asarray(np.clip((x[:, None] - 0.4) * 5.0, 0.0, 1.0)
+                        * np.ones((8, 8)))
+    bc_a = bcm.FieldBCs.uniform(bcm.ZeroGradient(), 2)
+    theta = np.deg2rad(60.0)
+    ca = {(1, 0): tp2.ContactAngle(theta0=theta),
+          (1, 1): tp2.ContactAngle(theta0=theta)}
+    iface = tp2.interface_properties(alpha, bc_a, mesh, sigma=0.07,
+                                     contact_angles=ca)
+    fy = np.asarray(iface.n_hat_f[1])  # y-face normal flux (8, 9)
+    area = float(np.asarray(mesh.face_area(1)).reshape(-1)[0])
+    np.testing.assert_allclose(fy[:, 0], -np.cos(theta) * area, rtol=1e-12)
+    np.testing.assert_allclose(fy[:, -1], np.cos(theta) * area, rtol=1e-12)
+    # dynamic variant reduces to theta0 at zero wall speed
+    dyn = tp2.ContactAngle(theta0=theta, uTheta=1.0, thetaA=0.1, thetaR=0.1)
+    assert float(dyn.theta(0.0)) == pytest.approx(theta)
