@@ -167,9 +167,13 @@ class _BCSpec:
     sign: float = 1.0     # symmetry sign for the component
 
 
-def _compile_bcs(solver, mesh, wp):
+def _compile_bcs(solver, mesh, wp, nr=None):
     """-> (specs, bc_inputs): specs[field][axis][side] = _BCSpec, bc_inputs =
-    list of np arrays fed to the kernel (for non-scalar BC values)."""
+    list of np arrays fed to the kernel (for non-scalar BC values).
+
+    Array-valued BCs on axis 0 become (1, wp) lane profiles; on axis 1 they
+    become (nr, 1) row profiles (single-chip path only — `nr` is None in the
+    sharded builder, where per-shard slab slicing is not implemented)."""
     bc_U, bc_p, bc_T = solver._bcs()
     bc_inputs: list[np.ndarray] = []
 
@@ -187,13 +191,24 @@ def _compile_bcs(solver, mesh, wp):
             kind = "fixed" if isinstance(bc, bcm.FixedValue) else "grad"
             if v.ndim == 0 or v.size == 1:
                 return _BCSpec(kind, value=float(v.reshape(())))
-            if a != 0:
-                raise NotImplementedError(
-                    "array-valued BCs on axis 1 not supported by fused kernel")
-            # x-side layer over y: full lane width, values at cell lanes 1..ny
-            ny = mesh.shape[1]
-            arr = np.zeros((1, wp), dtype=mesh.dtype)
-            arr[0, 1:ny + 1] = np.broadcast_to(v.reshape(-1), (ny,))
+            if a == 0:
+                # x-side layer over y: full lane width, cell lanes 1..ny,
+                # edge-padded into the corner lanes
+                ny = mesh.shape[1]
+                arr = np.zeros((1, wp), dtype=mesh.dtype)
+                arr[0, 1:ny + 1] = np.broadcast_to(v.reshape(-1), (ny,))
+                arr[0, 0] = arr[0, 1]
+                arr[0, ny + 1] = arr[0, ny]
+            else:
+                if nr is None:
+                    raise NotImplementedError(
+                        "array-valued BCs on axis 1 not supported by the "
+                        "sharded fused kernel")
+                nx = mesh.shape[0]
+                arr = np.zeros((nr, 1), dtype=mesh.dtype)
+                arr[1:nx + 1, 0] = np.broadcast_to(v.reshape(-1), (nx,))
+                arr[0, 0] = arr[1, 0]
+                arr[nx + 1, 0] = arr[nx, 0]
             bc_inputs.append(arr)
             return _BCSpec(kind, value=("input", len(bc_inputs) - 1))
         raise NotImplementedError(bc)
@@ -214,13 +229,85 @@ def _compile_bcs(solver, mesh, wp):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# layout auto-orientation: rows pad to 8 sublanes, lanes to 128; when the
+# transposed assignment wastes fewer padded elements (e.g. the 1024x512 jet:
+# (1032, 640) -> (520, 1152), -9.3%), build the kernel on the transposed case
+# and convert at the to_fused/from_fused boundary.
+# ---------------------------------------------------------------------------
+
+
+def _frame_elems(nx, ny):
+    return (-(-(nx + 2) // 8) * 8) * max(LANE, -(-(ny + 2) // LANE) * LANE)
+
+
+def _transpose_bc(b, vector):
+    """BC for the axis-swapped case; None if not transposable."""
+    if isinstance(b, (bcm.ZeroGradient, bcm.Symmetry, bcm.Extrapolated)):
+        return b
+    if isinstance(b, (bcm.FixedValue, bcm.FixedGradient)):
+        raw = b.value if isinstance(b, bcm.FixedValue) else b.grad
+        if callable(raw):
+            def wrapped(t, coords, _f=raw):
+                out = _f(t, tuple(coords)[::-1])
+                return out[::-1] if vector else out
+
+            new = wrapped
+        else:
+            v = np.asarray(raw)
+            if v.ndim == 0 or v.size == 1:
+                new = raw
+            elif vector and v.ndim == 1 and v.shape[0] == 2:
+                new = v[::-1]
+            else:
+                return None  # positional array profile: orientation unclear
+        return (bcm.FixedValue(new) if isinstance(b, bcm.FixedValue)
+                else bcm.FixedGradient(new))
+    return None
+
+
+def _transposed_solver(solver):
+    """Axis-swapped QGDFoam (2D), or None when a BC resists transposition."""
+    from ..core.mesh import Mesh
+
+    bc_U, bc_p, bc_T = solver._bcs()
+    new = {}
+    for name, fb, vec in (("bc_U", bc_U, True), ("bc_p", bc_p, False),
+                          ("bc_T", bc_T, False)):
+        rows = []
+        for a in (1, 0):
+            row = []
+            for side in (0, 1):
+                tb = _transpose_bc(fb[a, side], vec)
+                if tb is None:
+                    return None
+                row.append(tb)
+            rows.append(tuple(row))
+        new[name] = bcm.FieldBCs(tuple(rows))
+    mesh_t = Mesh(x_faces=solver.mesh.x_faces[::-1], dtype=solver.mesh.dtype)
+    return dataclasses.replace(solver, mesh=mesh_t, **new)
+
+
+def _transpose_state(s, pbc=()):
+    """QGDFoam State on the axis-swapped mesh (involution)."""
+    from ..solvers.qgd import State
+
+    return State(rho=s.rho.T, rhoU=s.rhoU[::-1].transpose(0, 2, 1),
+                 rhoE=s.rhoE.T, sc=s.sc.T, t=s.t, dt=s.dt, pbc=pbc)
+
+
 def build_fused_step(solver, interpret: tp.Optional[bool] = None,
                      _local_nx: tp.Optional[int] = None,
-                     _distributed: bool = False, **_unused):
+                     _distributed: bool = False, auto_layout: bool = True,
+                     **_unused):
     """Build (step, to_fused, from_fused) for a supported QGDFoam solver.
 
     step: FusedState -> FusedState, jittable / scannable.
     to_fused(State) -> FusedState;  from_fused(FusedState) -> State.
+
+    auto_layout: when the transposed (rows, lanes) assignment has fewer
+    padded frame elements, build on the axis-swapped case and transpose at
+    the State boundary (every frame op is ~element-count bound).
 
     _local_nx/_distributed are internal hooks for the shard_map wrapper
     (build_sharded_fused_step): the kernel then operates on a LOCAL x-slab,
@@ -230,6 +317,16 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
     from ..solvers.qgd import State
 
     assert supported(solver), "solver config not supported by the fused kernel"
+    if auto_layout and _local_nx is None and not _distributed:
+        nx0, ny0 = solver.mesh.shape
+        if _frame_elems(ny0, nx0) < _frame_elems(nx0, ny0):
+            alt = _transposed_solver(solver)
+            if alt is not None and supported(alt):
+                stepT, to_T, from_T = build_fused_step(
+                    alt, interpret=interpret, auto_layout=False)
+                return (stepT,
+                        lambda s: to_T(_transpose_state(s)),
+                        lambda fs: _transpose_state(from_T(fs)))
     mesh = solver.mesh
     th = solver.thermo
     tm = solver.tau_model
@@ -254,11 +351,14 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
     mu_is_const0 = (isinstance(th.transport, ConstTransport)
                     and th.transport.mu0 == 0.0)
 
-    specs, bc_inputs_np = _compile_bcs(solver, mesh, Wp)
+    specs, bc_inputs_np = _compile_bcs(solver, mesh, Wp,
+                                       nr=None if _distributed else NR)
     n_bc = len(bc_inputs_np)
 
-    def bc_ghost(spec: _BCSpec, interior, interior2, d, bc_refs):
-        """Ghost layer from its interior neighbours (pad.py `one()` parity)."""
+    def bc_ghost(spec: _BCSpec, interior, interior2, d, bc_refs, rows=None):
+        """Ghost layer from its interior neighbours (pad.py `one()` parity).
+        `rows` restricts an (NR, 1) axis-1 value profile to the row slice the
+        interior occupies (corner handling on the x-ghost rows)."""
         if spec.kind == "zg":
             return interior
         if spec.kind == "sym":
@@ -267,6 +367,8 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
             return 2.0 * interior - interior2
         if isinstance(spec.value, tuple):
             v = bc_refs[spec.value[1]][:]
+            if rows is not None and v.shape[0] > 1:
+                v = v[rows]
         else:
             v = spec.value
         if spec.kind == "fixed":
@@ -510,11 +612,11 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
         # values, then y lanes over all rows — matches ops.pad.ghost_pad) ----
         fields = {"p": pn, "T": Tn, "ux": uxn, "uy": uyn}
 
-        def col_ghosts(name, arr):
+        def col_ghosts(name, arr, rows=None):
             lo = bc_ghost(specs[name][1][0], arr[:, 1:2], arr[:, 2:3], dy,
-                          bc_refs)
+                          bc_refs, rows=rows)
             hi = bc_ghost(specs[name][1][1], arr[:, M:M + 1], arr[:, M - 1:M],
-                          dy, bc_refs)
+                          dy, bc_refs, rows=rows)
             return jnp.where(colid == 0, lo,
                              jnp.where(colid == M + 1, hi, arr))
 
@@ -531,8 +633,9 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
             if _distributed:
                 glo = jnp.where(is_lo, glo, arr[1:2, :])
                 ghi = jnp.where(is_hi, ghi, arr[-2:-1, :])
-            outs[k][0:1, :] = col_ghosts(name, glo)
-            outs[k][NR - 1:NR, :] = col_ghosts(name, ghi)
+            outs[k][0:1, :] = col_ghosts(name, glo, rows=slice(0, 1))
+            outs[k][NR - 1:NR, :] = col_ghosts(name, ghi,
+                                               rows=slice(NR - 1, NR))
 
     # ---- pallas_call wrapper ----------------------------------------------
     fshape = jax.ShapeDtypeStruct((NR, Wp), dtype)
@@ -718,7 +821,7 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
 
     # ---- conversions --------------------------------------------------------
     single_step, to_fused1, from_fused1 = build_fused_step(
-        solver, interpret=interpret)
+        solver, interpret=interpret, auto_layout=False)
     del single_step
 
     def to_sharded(s: State) -> FusedState:

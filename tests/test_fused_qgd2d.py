@@ -77,3 +77,33 @@ def test_roundtrip_state(jet):
     for name in ("rho", "rhoU", "rhoE"):
         np.testing.assert_allclose(np.asarray(getattr(s, name)),
                                    np.asarray(getattr(s2, name)), rtol=1e-6)
+
+
+def test_auto_layout_transposes_wide_grids():
+    """(nx >> ny) grids waste lanes in the natural orientation; the builder
+    must transpose (rows pad to 8, lanes to 128) and still match the
+    composable step through the State boundary."""
+    import jax
+    from qgdsolver_tpu.ops import fused_qgd2d
+
+    solver, state = cases.supersonic_jet(shape=(64, 32), dtype=np.float32)
+    assert fused_qgd2d._frame_elems(32, 64) < fused_qgd2d._frame_elems(64, 32)
+    step, to_f, from_f = solver.make_fused_step()
+    fs = to_f(state)
+    # transposed frame: rows = ny+2 = 34, lanes pad(nx+2 = 66) = 128
+    assert fs.p.shape == (34, 128)
+    s_ref = state
+    step_ref = solver.make_step()
+    for _ in range(5):
+        fs = jax.jit(step)(fs)
+        s_ref = jax.jit(step_ref)(s_ref)
+    out = from_f(fs)
+    for name in ("rho", "rhoE", "dt"):
+        np.testing.assert_allclose(np.asarray(getattr(out, name)),
+                                   np.asarray(getattr(s_ref, name)),
+                                   rtol=2e-5)
+    # rhoU develops near-zero shear cells where f32 Mosaic-vs-XLA rounding
+    # noise is amplified (same magnitude in the untransposed comparison);
+    # atol is 6e-5 of the ~800 kg/m^2/s momentum scale
+    np.testing.assert_allclose(np.asarray(out.rhoU),
+                               np.asarray(s_ref.rhoU), rtol=5e-5, atol=0.05)

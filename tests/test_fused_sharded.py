@@ -25,7 +25,10 @@ def test_sharded_fused_matches_serial_bitwise(nshards):
                                  shape=(nshards, 1), axis_names=("X", "Y"))
     sstep, to_sh, from_sh = fused_qgd2d.build_sharded_fused_step(
         solver, dmesh)
-    fstep, to_f, from_f = fused_qgd2d.build_fused_step(solver)
+    # bitwise comparison needs the serial oracle in the SAME (row, lane)
+    # orientation as the sharded slabs — disable the layout auto-transpose
+    fstep, to_f, from_f = fused_qgd2d.build_fused_step(solver,
+                                                       auto_layout=False)
 
     fs = to_f(state)
     ss = to_sh(state)
