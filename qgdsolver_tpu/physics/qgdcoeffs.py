@@ -217,6 +217,10 @@ class VarScModel5(TauModel):
     maxSc: float = 2.0
     cqSc: float = 0.0
     smoothCoeff: float = 0.5
+    # optional const-Sc cellSet (reference varScModel5: cells listed in the
+    # `constScCells` set keep a fixed Sc instead of the sensor value)
+    const_sc_mask: tp.Any = None   # 0/1 cell array
+    const_sc_value: float = 1.0
 
     def correct(self, mesh: Mesh, *, c, p, rho, sc_prev, **_):
         tau = self.alpha * mesh.h_cell / c
@@ -228,6 +232,9 @@ class VarScModel5(TauModel):
         sc = jnp.clip(sc, self.minSc, self.maxSc)
         sc = jnp.maximum(sc, self.cqSc)
         sc = _smooth_max(sc, self.smoothCoeff)
+        if self.const_sc_mask is not None:
+            sc = jnp.where(jnp.asarray(self.const_sc_mask) > 0,
+                           self.const_sc_value, sc)
         return _finish(mesh, tau, tau_f, p, sc, self.Pr)
 
 

@@ -62,6 +62,11 @@ class InterQHDFoam:
     # wall contact angles: {(axis, side): twophase.ContactAngle}
     # (qInterfaceProperties::correctContactAngle equivalent)
     contact_angles: tp.Optional[dict] = None
+    # CLI alpha-smoothing flags (interQHDFoam_8C:73-75, smoothSolution.H):
+    # alpha1 <- (1-c)*alpha1 + c*faceAverage(alpha1), nSmoothIters times
+    smooth_alpha: bool = False
+    n_smooth_iters: int = 1
+    smooth_coeff: float = 0.5
 
     def _bcs(self):
         nd = self.mesh.ndim
@@ -234,6 +239,21 @@ class InterQHDFoam:
                 n_iter=self.mules_n_iter,
             )
             alpha1_new = jnp.clip(alpha1_new, 0.0, 1.0)
+            if self.smooth_alpha:
+                # smoothSolution.H: blend toward the area-weighted average of
+                # the face-interpolated field (fvc::average analogue)
+                wsum = sum(2.0 * mesh.face_area(a) for a in range(nd))
+                for _ in range(self.n_smooth_iters):
+                    af = fvsc.interpolate(alpha1_new, bc_a, mesh, t=t)
+                    avg = sum(
+                        (jnp.take(af[a], jnp.arange(0, mesh.shape[a]),
+                                  axis=a)
+                         + jnp.take(af[a], jnp.arange(1, mesh.shape[a] + 1),
+                                    axis=a)) * mesh.face_area(a)
+                        for a in range(nd)) / wsum
+                    alpha1_new = ((1.0 - self.smooth_coeff) * alpha1_new
+                                  + self.smooth_coeff * avg)
+                alpha1_new = jnp.clip(alpha1_new, 0.0, 1.0)
             alpha2_new = 1.0 - alpha1_new
 
             # ---- mixture density + mass fluxes (:275-293) ----------------

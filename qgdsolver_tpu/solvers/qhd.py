@@ -80,6 +80,11 @@ class QHDFoam:
     # QHDDyMFoam_8C_source.html:109-135); the grid is treated as moving with
     # the frame, so solutions are reported in mesh coordinates.
     mesh_velocity: tp.Optional[tp.Callable] = None
+    # checkMeshCourantNo analogue (controlDict option of the DyM solvers):
+    # fold the mesh-flux Courant number into the dt controller so mesh
+    # motion cannot outrun the grid (the reference only warns; capping is
+    # the jit-compatible equivalent)
+    check_mesh_courant: bool = False
     bc_U: tp.Optional[bcm.FieldBCs] = None
     bc_T: tp.Optional[bcm.FieldBCs] = None
     bc_p: tp.Optional[bcm.FieldBCs] = None
@@ -172,6 +177,14 @@ class QHDFoam:
                 um = jnp.asarray(self.mesh_velocity(t)).reshape((nd,) + (1,) * nd)
                 Uf_rel = tuple(Uf[a] - um for a in range(nd))
                 co = common.courant_advective(Uf_rel, dt, mesh)
+                if self.check_mesh_courant:
+                    umv = jnp.asarray(self.mesh_velocity(t))
+                    mesh_co = jnp.max(jnp.stack([
+                        jnp.abs(umv[a]) * dt
+                        / jnp.min(jnp.asarray(mesh.h_face(a),
+                                              dtype=umv.dtype))
+                        for a in range(nd)]))
+                    co = jnp.maximum(co, mesh_co)
             else:
                 co = common.courant_advective(Uf, dt, mesh)
             dt_new = common.set_delta_t(dt, co, common.tau_f_min(tau_f), tc)

@@ -134,3 +134,71 @@ def test_qhd_dym_galilean_invariance():
     i0 = np.argmax(np.asarray(s.T)[:, 4])
     assert abs(np.asarray(mesh.centers[0])[i0] - 0.5) < 0.05
     assert np.all(np.isfinite(np.asarray(s.U)))
+
+
+def test_varsc5_const_sc_cellset():
+    """Cells in the constSc set keep the fixed Sc value regardless of the
+    shock sensor (reference varScModel5 optional cellSet)."""
+    import jax.numpy as jnp
+    from qgdsolver_tpu.core.mesh import Mesh
+    from qgdsolver_tpu.physics import qgdcoeffs as qc
+
+    mesh = Mesh.uniform((8, 8), dtype=np.float64)
+    mask = np.zeros((8, 8)); mask[:4] = 1.0
+    m = qc.VarScModel5(rC=1.0, minSc=0.0, maxSc=2.0,
+                       const_sc_mask=mask, const_sc_value=0.123)
+    # strong density gradient -> sensor Sc > 0 everywhere
+    x = np.asarray(mesh.cell_coords(0)) * np.ones((8, 8))
+    rho = jnp.asarray(1.0 + 5.0 * x)
+    co = m.correct(mesh, c=jnp.full((8, 8), 340.0), p=jnp.full((8, 8), 1e5),
+                   rho=rho, sc_prev=jnp.zeros((8, 8)))
+    sc = np.asarray(co.sc)
+    np.testing.assert_allclose(sc[:4], 0.123, rtol=1e-12)
+    assert (sc[4:] != 0.123).any()
+
+
+def test_qhd_dym_mesh_courant_cap():
+    """check_mesh_courant folds |U_mesh|*dt/h into the dt controller: with a
+    fast mesh velocity the adjusted dt must come out smaller."""
+    import jax
+    import jax.numpy as jnp
+    from qgdsolver_tpu.core.mesh import Mesh
+    from qgdsolver_tpu.solvers.qhd_dym import QHDDyMFoam
+    from qgdsolver_tpu.solvers import common
+    from qgdsolver_tpu.physics.qgdcoeffs import ConstTau
+
+    mesh = Mesh.uniform((16, 16), dtype=np.float64)
+    thermo = RhoConstThermo(rho0=1.0, Cp=1000.0, mu0=1e-5, Pr=1.0, beta=0.0)
+    kw = dict(mesh=mesh, thermo=thermo, tau_model=ConstTau(tau0=1e-4),
+              time=common.TimeControls(max_co=0.5, max_dt=1.0, dt0=1e-4),
+              implicit_diffusion=False,
+              mesh_velocity=lambda t: jnp.asarray([50.0, 0.0]))
+    T0 = jnp.full(mesh.shape, 300.0)
+    U0 = jnp.zeros((2,) + mesh.shape)
+    s_nochk = QHDDyMFoam(check_mesh_courant=False, **kw)
+    s_chk = QHDDyMFoam(check_mesh_courant=True, **kw)
+    st = s_nochk.init(U0, T0)
+    a = jax.jit(s_nochk.make_step())(st)
+    b = jax.jit(s_chk.make_step())(st)
+    assert float(b.dt) <= float(a.dt)
+    # cap binds: dt*|um|/h <= ~max_co within the damped-increase rule
+    assert float(b.dt) * 50.0 / (1.0 / 16.0) < 0.5 * 1.3
+
+
+def test_inter_qhd_alpha_smoothing_flags():
+    """smoothAlpha/nSmoothIters/smoothCoeff (interQHDFoam CLI args): the
+    smoothed interface has smaller max gradient and stays in [0,1]."""
+    import dataclasses as dc
+    import jax
+    from tests.test_inter_qhd import _drop_case
+
+    mesh, solver, state = _drop_case()
+    sm = dc.replace(solver, smooth_alpha=True, n_smooth_iters=2,
+                    smooth_coeff=0.5)
+    a = jax.jit(solver.make_step())(state)
+    b = jax.jit(sm.make_step())(state)
+    ga = np.abs(np.diff(np.asarray(a.alpha1), axis=0)).max()
+    gb = np.abs(np.diff(np.asarray(b.alpha1), axis=0)).max()
+    assert gb < ga
+    assert np.asarray(b.alpha1).min() >= 0.0
+    assert np.asarray(b.alpha1).max() <= 1.0
