@@ -167,13 +167,17 @@ class _BCSpec:
     sign: float = 1.0     # symmetry sign for the component
 
 
-def _compile_bcs(solver, mesh, wp, nr=None):
+def _compile_bcs(solver, mesh, wp, nr=None, m=None):
     """-> (specs, bc_inputs): specs[field][axis][side] = _BCSpec, bc_inputs =
     list of np arrays fed to the kernel (for non-scalar BC values).
 
     Array-valued BCs on axis 0 become (1, wp) lane profiles; on axis 1 they
     become (nr, 1) row profiles (single-chip path only — `nr` is None in the
-    sharded builder, where per-shard slab slicing is not implemented)."""
+    sharded builder, where per-shard slab slicing is not implemented).
+
+    `m`: local lane cell count for a y-decomposed sharded kernel build —
+    the arrays then only fix the operand SHAPE (the sharded wrapper slices
+    the true global profile per shard at call time)."""
     bc_U, bc_p, bc_T = solver._bcs()
     bc_inputs: list[np.ndarray] = []
 
@@ -195,8 +199,10 @@ def _compile_bcs(solver, mesh, wp, nr=None):
                 # x-side layer over y: full lane width, cell lanes 1..ny,
                 # edge-padded into the corner lanes
                 ny = mesh.shape[1]
+                prof = np.broadcast_to(v.reshape(-1), (ny,))
+                ny = ny if m is None else m
                 arr = np.zeros((1, wp), dtype=mesh.dtype)
-                arr[0, 1:ny + 1] = np.broadcast_to(v.reshape(-1), (ny,))
+                arr[0, 1:ny + 1] = prof[:ny]
                 arr[0, 0] = arr[0, 1]
                 arr[0, ny + 1] = arr[0, ny]
             else:
@@ -298,7 +304,10 @@ def _transpose_state(s, pbc=()):
 
 def build_fused_step(solver, interpret: tp.Optional[bool] = None,
                      _local_nx: tp.Optional[int] = None,
-                     _distributed: bool = False, auto_layout: bool = True,
+                     _local_ny: tp.Optional[int] = None,
+                     _distributed: bool = False,
+                     _y_distributed: bool = False,
+                     auto_layout: bool = True,
                      **_unused):
     """Build (step, to_fused, from_fused) for a supported QGDFoam solver.
 
@@ -331,8 +340,9 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
     th = solver.thermo
     tm = solver.tau_model
     tc = solver.time
-    gnx, M = mesh.shape           # M = ny
+    gnx, gny = mesh.shape
     nx = gnx if _local_nx is None else _local_nx
+    M = gny if _local_ny is None else _local_ny   # local ny
     NR = nx + 2                   # stored rows (local slab when distributed)
     Wp = max(LANE, -(-(M + 2) // LANE) * LANE)
     dtype = np.dtype(mesh.dtype)
@@ -352,7 +362,8 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
                     and th.transport.mu0 == 0.0)
 
     specs, bc_inputs_np = _compile_bcs(solver, mesh, Wp,
-                                       nr=None if _distributed else NR)
+                                       nr=None if _distributed else NR,
+                                       m=M if _distributed else None)
     n_bc = len(bc_inputs_np)
 
     def bc_ghost(spec: _BCSpec, interior, interior2, d, bc_refs, rows=None):
@@ -429,15 +440,28 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
         if _distributed:
             is_lo = flag_ref[0, 0] == 1
             is_hi = flag_ref[0, 1] == 1
+            # keep y-edge selects OUT of the graph when y is not decomposed:
+            # (n, 1) meshes then stay bitwise-identical to the serial kernel
+            if _y_distributed:
+                is_lo_y = flag_ref[0, 2] == 1
+                is_hi_y = flag_ref[0, 3] == 1
+            else:
+                is_lo_y = is_hi_y = True
         else:
-            is_lo = is_hi = True
+            is_lo = is_hi = is_lo_y = is_hi_y = True
 
         def zg_override(fld):
             # coefficient-field ghost handling: zero-gradient at PHYSICAL
-            # boundaries only — at shard boundaries the halo row carries the
-            # neighbour's true cell value and must pass through
-            fld = jnp.where(colid == 0, fld[:, 1:2],
-                            jnp.where(colid == M + 1, fld[:, M:M + 1], fld))
+            # boundaries only — at shard boundaries the halo row/lane carries
+            # the neighbour's true cell value and must pass through
+            if _distributed and _y_distributed:
+                lo_c = jnp.where(is_lo_y, fld[:, 1:2], fld[:, 0:1])
+                hi_c = jnp.where(is_hi_y, fld[:, M:M + 1],
+                                 fld[:, M + 1:M + 2])
+            else:
+                lo_c, hi_c = fld[:, 1:2], fld[:, M:M + 1]
+            fld = jnp.where(colid == 0, lo_c,
+                            jnp.where(colid == M + 1, hi_c, fld))
             first = jnp.where(is_lo, fld[1:2, :], fld[0:1, :])
             last = jnp.where(is_hi, fld[-2:-1, :], fld[-1:, :])
             return jnp.where(rowid == 0, first,
@@ -617,6 +641,11 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
                           bc_refs, rows=rows)
             hi = bc_ghost(specs[name][1][1], arr[:, M:M + 1], arr[:, M - 1:M],
                           dy, bc_refs, rows=rows)
+            if _distributed and _y_distributed:
+                # shard-interior y edges: keep the halo lane (the wrapper
+                # overwrites it with the neighbour's row after the kernel)
+                lo = jnp.where(is_lo_y, lo, arr[:, 0:1])
+                hi = jnp.where(is_hi_y, hi, arr[:, M + 1:M + 2])
             return jnp.where(colid == 0, lo,
                              jnp.where(colid == M + 1, hi, arr))
 
@@ -659,7 +688,7 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
 
     W = M + 2
 
-    ones_flags = jnp.ones((1, 2), dtype=jnp.int32)
+    ones_flags = jnp.ones((1, 4), dtype=jnp.int32)
 
     def step(fs: FusedState) -> FusedState:
         dts = jnp.reshape(fs.dt.astype(dtype), (1, 1))
@@ -705,61 +734,78 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
 
 
 def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
+                             axis_name_y: str = "Y",
                              interpret: tp.Optional[bool] = None):
-    """Fused step domain-decomposed over the `axis_name` axis of `dmesh`.
+    """Fused step domain-decomposed over a 2-D (X, Y) TPU chip mesh.
 
     The TPU-native replacement of the reference's MPI decomposition for the
-    fused path: each shard owns an x-slab carried WITH its two halo rows
-    (local arrays (nx/n + 2, Wp)); per step each shard runs the whole-slab
-    VMEM kernel, then exchanges single halo rows with its ring neighbours
-    via jax.lax.ppermute (ICI), and the Courant/tau reductions are
-    jax.lax.pmax/pmin over the axis (SURVEY.md §2.4 equivalence).
+    fused path: each shard owns an (x, y) block carried WITH its one-cell
+    halo frame (local arrays (nx/px + 2, pad128(ny/py + 2))); per step each
+    shard runs the whole-block VMEM kernel, then exchanges halos with its
+    mesh neighbours via jax.lax.ppermute (ICI) in TWO PHASES — rows over X,
+    then lanes over Y including the fresh halo rows, which transports the
+    diagonal corner cells exactly like the reference's corner-process
+    machinery (SURVEY.md §2.4) without a third exchange.  Courant/tau
+    reductions are jax.lax.pmax/pmin over both axes.
+
+    A (n, 1) device mesh reduces to the pure x-ring decomposition.
 
     Returns (step, to_sharded, from_sharded):
-      carry = FusedState whose arrays are (n, nx/n + 2, Wp) stacked local
-      slabs, sharded P(axis_name, None, None).
+      carry = FusedState whose arrays are (px, py, NRl, Wpl) stacked local
+      blocks, sharded P(X, Y, None, None).
     """
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
     from ..solvers.qgd import State
+    from ..ops.pad import ghost_pad
 
     assert supported(solver)
     mesh = solver.mesh
     th = solver.thermo
     tm = solver.tau_model
     tc = solver.time
-    nx, M = mesh.shape
-    n = dmesh.shape[axis_name]
-    assert nx % n == 0, (nx, n)
-    nxl = nx // n
+    nx, ny = mesh.shape
+    px = dmesh.shape[axis_name]
+    py = dmesh.shape.get(axis_name_y, 1) if hasattr(dmesh.shape, "get") \
+        else dmesh.shape[axis_name_y]
+    assert nx % px == 0, (nx, px)
+    assert ny % py == 0, (ny, py)
+    nxl, nyl = nx // px, ny // py
     NRl = nxl + 2
-    Wp = max(LANE, -(-(M + 2) // LANE) * LANE)
+    Ml = nyl
+    Wl = Ml + 2
+    Wpl = max(LANE, -(-Wl // LANE) * LANE)
     dtype = np.dtype(mesh.dtype)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
 
     pcall = build_fused_step(solver, interpret=interpret, _local_nx=nxl,
-                             _distributed=True)
-    specs, bc_inputs_np = _compile_bcs(solver, mesh, Wp)
-    bc_inputs = tuple(jnp.asarray(a, dtype=dtype) for a in bc_inputs_np)
+                             _local_ny=nyl, _distributed=True,
+                             _y_distributed=py > 1)
+    # global-width profiles for array-valued axis-0 BCs: sliced per shard
+    # below (the kernel-side arrays from the _distributed _compile_bcs only
+    # fix operand shapes)
+    specs_g, bc_inputs_g = _compile_bcs(solver, mesh, ny + 2, nr=None)
+    bc_inputs_glob = tuple(jnp.asarray(a, dtype=dtype) for a in bc_inputs_g)
 
     f = float
     dx, dy = f(mesh.dx[0][0]), f(mesh.dx[1][0])
     gamma, R = f(th.gamma), f(th.R)
     alpha = f(tm.alpha)
-    W = M + 2
-    fwd = [(i, i + 1) for i in range(n - 1)]
-    bwd = [(i + 1, i) for i in range(n - 1)]
+    fwd_x = [(i, i + 1) for i in range(px - 1)]
+    bwd_x = [(i + 1, i) for i in range(px - 1)]
+    fwd_y = [(i, i + 1) for i in range(py - 1)]
+    bwd_y = [(i + 1, i) for i in range(py - 1)]
 
-    def local_dt(p_, T_, ux_, uy_, dt):
+    def local_dt(p_, T_, ux_, uy_, dt, edges):
         """Masked local Courant/tau partials -> pmax/pmin -> setDeltaT
         (QGDCourantNo.H + setDeltaT-QGDQHD.H over the decomposed mesh)."""
-        Tl = T_[:, :W]
+        is_lo, is_hi, is_lo_y, is_hi_y = edges
+        Tl = T_[:, :Wl]
         c = jnp.sqrt((gamma * R) * Tl)
-        uxl, uyl = ux_[:, :W], uy_[:, :W]
-        # x-faces (local rows 0..nxl): shared shard faces counted twice, max
-        # is idempotent
+        uxl, uyl = ux_[:, :Wl], uy_[:, :Wl]
+        # shared shard faces counted twice; max is idempotent
         cfx = 0.5 * (c[:-1] + c[1:])
         ufx = 0.5 * (uxl[:-1] + uxl[1:])
         wave_x = (jnp.abs(ufx) + cfx)[:, 1:-1]
@@ -768,45 +814,73 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
         wave_y = (jnp.abs(ufy) + cfy)[1:-1, :]
         co = jnp.maximum(jnp.max(wave_x) * dt / dx,
                          jnp.max(wave_y) * dt / dy)
-        # tau_f with zero-gradient coefficient ghosts at PHYSICAL x edges:
-        # interior halo rows already hold neighbour values; min over faces
+        # tau_f with zero-gradient coefficient ghosts at PHYSICAL edges:
+        # interior halo rows/lanes already hold neighbour values
         aoc = alpha / c
-        idx = jax.lax.axis_index(axis_name)
-        lo = jnp.where(idx == 0, aoc[1:2], aoc[0:1])
-        hi = jnp.where(idx == n - 1, aoc[-2:-1], aoc[-1:])
+        lo = jnp.where(is_lo, aoc[1:2], aoc[0:1])
+        hi = jnp.where(is_hi, aoc[-2:-1], aoc[-1:])
         aoc = jnp.concatenate([lo, aoc[1:-1], hi], axis=0)
-        aoc = jnp.concatenate([aoc[:, 1:2], aoc[:, 1:-1], aoc[:, -2:-1]],
-                              axis=1)
+        if py > 1:
+            lo_c = jnp.where(is_lo_y, aoc[:, 1:2], aoc[:, 0:1])
+            hi_c = jnp.where(is_hi_y, aoc[:, -2:-1], aoc[:, -1:])
+        else:
+            lo_c, hi_c = aoc[:, 1:2], aoc[:, -2:-1]
+        aoc = jnp.concatenate([lo_c, aoc[:, 1:-1], hi_c], axis=1)
         taux = (0.5 * (aoc[:-1] + aoc[1:]) * dx)[:, 1:-1]
         tauy = (0.5 * (aoc[:, :-1] + aoc[:, 1:]) * dy)[1:-1, :]
         tau_min = jnp.minimum(jnp.min(taux), jnp.min(tauy))
-        co = jax.lax.pmax(co, axis_name)
-        tau_min = jax.lax.pmin(tau_min, axis_name)
+        co = jax.lax.pmax(jax.lax.pmax(co, axis_name), axis_name_y)
+        tau_min = jax.lax.pmin(jax.lax.pmin(tau_min, axis_name), axis_name_y)
         return common.set_delta_t(dt, co, tau_min, tc)
 
+    colid_l = jax.lax.broadcasted_iota(jnp.int32, (NRl, Wpl), 1)
+
     def local_step(pl_, Tl_, uxl_, uyl_, t, dt):
-        p_, T_, ux_, uy_ = pl_[0], Tl_[0], uxl_[0], uyl_[0]
-        idx = jax.lax.axis_index(axis_name)
-        is_lo = (idx == 0).astype(jnp.int32)
-        is_hi = (idx == n - 1).astype(jnp.int32)
-        dt_new = local_dt(p_, T_, ux_, uy_, dt)
+        p_, T_, ux_, uy_ = pl_[0, 0], Tl_[0, 0], uxl_[0, 0], uyl_[0, 0]
+        ix = jax.lax.axis_index(axis_name)
+        iy = jax.lax.axis_index(axis_name_y)
+        is_lo = ix == 0
+        is_hi = ix == px - 1
+        is_lo_y = iy == 0
+        is_hi_y = iy == py - 1
+        dt_new = local_dt(p_, T_, ux_, uy_, dt,
+                          (is_lo, is_hi, is_lo_y, is_hi_y))
         dts = jnp.reshape(dt_new.astype(dtype), (1, 1))
-        flags = jnp.stack([is_lo, is_hi]).reshape(1, 2)
-        outs = pcall(dts, flags, p_, T_, ux_, uy_, *bc_inputs)
+        flags = jnp.stack([is_lo, is_hi, is_lo_y, is_hi_y]).astype(
+            jnp.int32).reshape(1, 4)
+        # slice the global lane profiles to this shard's y-window
+        bc_loc = []
+        for g in bc_inputs_glob:
+            win = jax.lax.dynamic_slice(
+                g, (jnp.zeros((), iy.dtype), iy * nyl), (1, Wl))
+            arr = jnp.zeros((1, Wpl), dtype=dtype)
+            bc_loc.append(jax.lax.dynamic_update_slice(arr, win, (0, 0)))
+        outs = pcall(dts, flags, p_, T_, ux_, uy_, *bc_loc)
 
         def exchange(a):
-            # my last interior row -> next shard's halo row 0; my first
-            # interior row -> previous shard's top halo row
-            from_prev = jax.lax.ppermute(a[-2:-1, :], axis_name, fwd)
-            from_next = jax.lax.ppermute(a[1:2, :], axis_name, bwd)
-            row0 = jnp.where(is_lo == 1, a[0:1, :], from_prev)
-            rowN = jnp.where(is_hi == 1, a[-1:, :], from_next)
-            return jnp.concatenate([row0, a[1:-1, :], rowN], axis=0)
+            # phase 1: halo rows over X (full width incl. current lanes)
+            from_prev = jax.lax.ppermute(a[-2:-1, :], axis_name, fwd_x)
+            from_next = jax.lax.ppermute(a[1:2, :], axis_name, bwd_x)
+            row0 = jnp.where(is_lo, a[0:1, :], from_prev)
+            rowN = jnp.where(is_hi, a[-1:, :], from_next)
+            a = jnp.concatenate([row0, a[1:-1, :], rowN], axis=0)
+            if py > 1:
+                # phase 2: halo lanes over Y including the fresh halo rows
+                # -> corner ghosts = diagonal neighbours' cells (two-phase
+                # exchange transports corners for free)
+                from_left = jax.lax.ppermute(a[:, Ml:Ml + 1], axis_name_y,
+                                             fwd_y)
+                from_right = jax.lax.ppermute(a[:, 1:2], axis_name_y, bwd_y)
+                col0 = jnp.where(is_lo_y, a[:, 0:1], from_left)
+                colM = jnp.where(is_hi_y, a[:, Ml + 1:Ml + 2], from_right)
+                a = jnp.where(colid_l == 0, col0,
+                              jnp.where(colid_l == Ml + 1, colM, a))
+            return a
 
-        outs = [exchange(a)[None] for a in outs]
+        outs = [exchange(a)[None, None] for a in outs]
         return (*outs, t + dt_new, dt_new)
 
-    pspec = P(axis_name, None, None)
+    pspec = P(axis_name, axis_name_y, None, None)
     sstep = shard_map(
         local_step, mesh=dmesh,
         in_specs=(pspec, pspec, pspec, pspec, P(), P()),
@@ -820,32 +894,55 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
         return FusedState(p=p2, T=T2, ux=ux2, uy=uy2, t=t2, dt=dt2)
 
     # ---- conversions --------------------------------------------------------
-    single_step, to_fused1, from_fused1 = build_fused_step(
-        solver, interpret=interpret, auto_layout=False)
-    del single_step
+    bc_U, bc_p, bc_T = solver._bcs()
 
     def to_sharded(s: State) -> FusedState:
-        fs = to_fused1(s)
+        U, e, T, p = solver.primitives(s)
+        Upad = ghost_pad(U, bc_U, mesh, t=s.t, vector=True)
+        padded = {
+            "p": ghost_pad(p, bc_p, mesh, t=s.t),
+            "T": ghost_pad(T, bc_T, mesh, t=s.t),
+            "ux": Upad[0], "uy": Upad[1],
+        }
 
         def split(a):
-            # overlapped slabs: slab i rows [i*nxl, i*nxl + NRl) of the
-            # (nx+2)-row padded array
-            return jnp.stack([
-                jax.lax.slice_in_dim(a, i * nxl, i * nxl + NRl, axis=0)
-                for i in range(n)
-            ])
+            # overlapped blocks: block (i, j) = rows [i*nxl, i*nxl + NRl) x
+            # lanes [j*nyl, j*nyl + Wl), lane-padded to Wpl
+            blocks = []
+            for i in range(px):
+                row = []
+                for j in range(py):
+                    blk = a[i * nxl:i * nxl + NRl, j * nyl:j * nyl + Wl]
+                    row.append(jnp.pad(blk, ((0, 0), (0, Wpl - Wl)),
+                                       mode="edge"))
+                blocks.append(jnp.stack(row))
+            return jnp.stack(blocks)
 
-        return FusedState(p=split(fs.p), T=split(fs.T), ux=split(fs.ux),
-                          uy=split(fs.uy), t=fs.t, dt=fs.dt)
+        return FusedState(p=split(padded["p"]), T=split(padded["T"]),
+                          ux=split(padded["ux"]), uy=split(padded["uy"]),
+                          t=s.t, dt=s.dt)
 
     def from_sharded(fs: FusedState) -> State:
         def join(a):
-            # interior rows of each slab + the two global ghost rows
-            mid = jnp.concatenate([a[i, 1:-1] for i in range(n)], axis=0)
-            return jnp.concatenate([a[0, 0:1], mid, a[-1, -1:]], axis=0)
+            # interior cells of each block + the global ghost frame
+            rows = []
+            for i in range(px):
+                cols = [a[i, j, :, 1:Ml + 1] for j in range(py)]
+                mid = jnp.concatenate(cols, axis=1)
+                lo = a[i, 0, :, 0:1]
+                hi = a[i, py - 1, :, Ml + 1:Ml + 2]
+                rows.append(jnp.concatenate([lo, mid, hi], axis=1))
+            interior = jnp.concatenate([r[1:-1] for r in rows], axis=0)
+            return jnp.concatenate([rows[0][0:1], interior, rows[-1][-1:]],
+                                   axis=0)
 
-        flat = FusedState(p=join(fs.p), T=join(fs.T), ux=join(fs.ux),
-                          uy=join(fs.uy), t=fs.t, dt=fs.dt)
-        return from_fused1(flat)
+        p = join(fs.p)[1:-1, 1:-1]
+        T = join(fs.T)[1:-1, 1:-1]
+        U = jnp.stack([join(fs.ux)[1:-1, 1:-1], join(fs.uy)[1:-1, 1:-1]])
+        rho = th.rho_from_p_T(p, T)
+        e = th.e_from_T(T)
+        return State(rho=rho, rhoU=rho[None] * U,
+                     rhoE=rho * e + 0.5 * rho * jnp.sum(U * U, axis=0),
+                     sc=jnp.full_like(rho, tm.Sc), t=fs.t, dt=fs.dt, pbc=())
 
     return step, to_sharded, from_sharded

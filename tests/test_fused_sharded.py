@@ -51,3 +51,35 @@ def test_sharded_roundtrip():
     for name in ("rho", "rhoU", "rhoE"):
         np.testing.assert_allclose(np.asarray(getattr(state, name)),
                                    np.asarray(getattr(s2, name)), rtol=1e-6)
+
+
+@pytest.mark.parametrize("pxy", [(2, 2), (2, 4)])
+def test_sharded_fused_2d_mesh_matches_serial(pxy):
+    """2-D (X, Y) block decomposition with two-phase ppermute halo exchange
+    (rows then lanes -> corners for free).  The y-edge handling is traced,
+    so agreement with the serial kernel is to f32 reassociation tolerance
+    rather than bitwise."""
+    px, py = pxy
+    if len(jax.devices()) < px * py:
+        pytest.skip("not enough devices")
+    solver, state = cases.supersonic_jet(shape=(64, 32), dtype=np.float32)
+    dmesh = shd.make_device_mesh(jax.devices()[:px * py],
+                                 shape=(px, py), axis_names=("X", "Y"))
+    sstep, to_sh, from_sh = fused_qgd2d.build_sharded_fused_step(
+        solver, dmesh)
+    fstep, to_f, from_f = fused_qgd2d.build_fused_step(solver,
+                                                       auto_layout=False)
+    fs, ss = to_f(state), to_sh(state)
+    jf, js = jax.jit(fstep), jax.jit(sstep)
+    for _ in range(10):
+        fs = jf(fs)
+        ss = js(ss)
+    a, b = from_f(fs), from_sh(ss)
+    np.testing.assert_array_equal(np.asarray(a.dt), np.asarray(b.dt))
+    for name in ("rho", "rhoE"):
+        np.testing.assert_allclose(np.asarray(getattr(a, name)),
+                                   np.asarray(getattr(b, name)),
+                                   rtol=1e-6, err_msg=name)
+    # rhoU has near-zero shear cells; scale-aware atol (momentum scale ~800)
+    np.testing.assert_allclose(np.asarray(a.rhoU), np.asarray(b.rhoU),
+                               rtol=1e-5, atol=0.05)
