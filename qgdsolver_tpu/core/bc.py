@@ -74,6 +74,50 @@ class Extrapolated(BC):
 
 
 @dataclasses.dataclass(frozen=True)
+class InletOutlet(BC):
+    """OpenFOAM inletOutlet: per-face switch on the flux direction —
+    zeroGradient where flow leaves the domain, fixedValue `inlet_value`
+    where it enters (the entrainment-boundary BC of the reference jet
+    tutorials).  A marker: solvers resolve it each step into `FluxSwitched`
+    via `resolve_inlet_outlet` using the interior-cell outward normal
+    velocity (OpenFOAM switches on the face flux phi; on the uncoupled
+    boundaries this BC is used on, the adjacent-cell normal velocity carries
+    the same sign — documented deviation: phi includes the QGD mass-flux
+    correction, the switch here does not)."""
+
+    inlet_value: tp.Any = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxSwitched(BC):
+    """Resolved inletOutlet: `outflow` is a boolean boundary-layer array
+    (True -> zeroGradient ghost, False -> fixedValue(value) ghost)."""
+
+    value: tp.Any
+    outflow: tp.Any
+
+
+def resolve_inlet_outlet(bcs: "FieldBCs", U, ndim: int) -> "FieldBCs":
+    """Replace InletOutlet markers with FluxSwitched from the current cell
+    velocity U (d, *cells).  No-op (trace-time) when no marker is present."""
+    if not any(
+        isinstance(bcs[a, s], InletOutlet) for a in range(ndim) for s in (0, 1)
+    ):
+        return bcs
+    out = bcs
+    for a in range(ndim):
+        for side in (0, 1):
+            b = out[a, side]
+            if not isinstance(b, InletOutlet):
+                continue
+            idx = 0 if side == 0 else -1
+            un = jnp.take(U[a], jnp.asarray([idx]), axis=a)
+            outflow = (un < 0) if side == 0 else (un > 0)
+            out = out.replace(a, side, FluxSwitched(b.inlet_value, outflow))
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
 class QGDFluxP(BC):
     """qgdFlux pressure BC marker: the solver substitutes a FixedGradient
     with dp/dn = -phiwStar/(tau_f*|Sf|) each step (reference
@@ -116,6 +160,10 @@ def homogeneous(bc: BC) -> BC:
         return FixedValue(0.0)
     if isinstance(bc, FixedGradient):
         return FixedGradient(0.0)
+    if isinstance(bc, FluxSwitched):
+        return FluxSwitched(0.0, bc.outflow)
+    if isinstance(bc, InletOutlet):
+        return InletOutlet(0.0)
     return bc
 
 

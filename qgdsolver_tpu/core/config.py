@@ -34,7 +34,8 @@ register("bc", "symmetry")(lambda **_: bcm.Symmetry())
 register("bc", "slip")(lambda **_: bcm.Symmetry())
 register("bc", "cyclic")(lambda **_: bcm.Periodic())
 register("bc", "periodic")(lambda **_: bcm.Periodic())
-register("bc", "inletOutlet")(lambda **_: bcm.Extrapolated())
+register("bc", "inletOutlet")(
+    lambda inletValue=0.0, **_: bcm.InletOutlet(jnp.asarray(inletValue)))
 register("bc", "extrapolated")(lambda **_: bcm.Extrapolated())
 register("bc", "noSlip")(lambda ndim=3, **_: bcm.noslip(ndim))
 register("bc", "qgdFlux")(lambda **_: bcm.QGDFluxP())
@@ -75,7 +76,17 @@ def build_bcs(cfg: dict, ndim: int):
 
 
 def build_thermo(cfg: dict):
-    kw = {k: v for k, v in cfg.items() if k not in ("type", "transport", "eos")}
+    kw = {k: v for k, v in cfg.items()
+          if k not in ("type", "transport", "eos", "janaf")}
+    if "janaf" in cfg:
+        from ..physics.thermo import JanafThermo
+
+        kw["janaf"] = JanafThermo(
+            R=cfg["janaf"]["R"],
+            low=tuple(cfg["janaf"]["low"]),
+            high=tuple(cfg["janaf"]["high"]),
+            Tcommon=cfg["janaf"].get("Tcommon", 1000.0),
+        )
     if "transport" in cfg:
         tcfg = cfg["transport"]
         kw["transport"] = create(

@@ -131,6 +131,17 @@ def grad(field, bcs: bcm.FieldBCs, mesh: Mesh, scheme="full", t=0.0, vector=Fals
     return grad_from_padded(fp, mesh, scheme=scheme)
 
 
+def scheme_for(spec, term: str) -> str:
+    """Per-term fvsc scheme selection — the reference reads the fvSchemes
+    `fvsc` sub-dict per operator name (`grad(p)`, `div(rhoU)`, ...) with a
+    `default` fallback (fvsc_8C_source.html:47-58).  `spec` is either one
+    scheme word applied to every term, or a dict keyed by term name with an
+    optional "default" entry."""
+    if isinstance(spec, str):
+        return spec
+    return spec.get(term, spec.get("default", "full"))
+
+
 def normalize_scheme(scheme: str, ndim: int) -> str:
     """Map reference fvsc scheme names onto the structured-mesh kernels.
 

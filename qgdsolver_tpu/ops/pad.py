@@ -88,6 +88,24 @@ def _ghost_layers(bc_lo, bc_hi, arr, mesh, a, t, vector):
             return other_interior
         if isinstance(bc, bcm.Extrapolated):
             return 2.0 * interior - near2
+        if isinstance(bc, bcm.FluxSwitched):
+            coords = _layer_coords(mesh, a, side)
+            v = _eval_bc_value(bc.value, t, coords, vector, ncomp, interior.ndim)
+            # the outflow mask lives on the unpadded mesh; axes < a already
+            # carry ghosts here, so edge-replicate the mask to match
+            mask = jnp.asarray(bc.outflow)
+            for b in range(a):
+                axb = _spatial_axis(mask.ndim, mesh.ndim, b)
+                if mask.shape[axb] == 1:
+                    continue
+                first = jnp.take(mask, jnp.asarray([0]), axis=axb)
+                last = jnp.take(mask, jnp.asarray([-1]), axis=axb)
+                mask = jnp.concatenate([first, mask, last], axis=axb)
+            return jnp.where(mask, interior, 2.0 * v - interior)
+        if isinstance(bc, bcm.InletOutlet):
+            raise TypeError(
+                "InletOutlet must be resolved per step via "
+                "bc.resolve_inlet_outlet before padding")
         raise TypeError(f"unsupported BC {bc!r}")
 
     lo = one(bc_lo, 0, i_lo, i_hi, dx_lo, _sl(arr, ax, slice(1, 2)))

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import typing as tp
 
+import jax
 import jax.numpy as jnp
 
 from ..core.mesh import Mesh
@@ -177,27 +178,54 @@ class T0byGr(TauModel):
 # ---------------------------------------------------------------------------
 
 
-def _smooth_max(field, coeff, sweeps=3):
-    """fvc::smooth analogue: raise each cell to at least coeff*max(neighbour)
-    for a few sweeps (reference varScModel5 uses fvc::smooth to spread the
-    sensor, varScModel5_8C_source.html:232)."""
+def _neighbour_max(field):
+    """Max over the face neighbours of each cell (edge-replicated at
+    boundaries, which is a no-op for the smoothing update below)."""
     nd = field.ndim
-    for _ in range(sweeps):
-        nb = field
-        for a in range(nd):
-            lo = jnp.concatenate(
-                [jnp.take(field, jnp.asarray([0]), axis=a), field], axis=a
-            )
-            hi = jnp.concatenate(
-                [field, jnp.take(field, jnp.asarray([-1]), axis=a)], axis=a
-            )
-            sl_lo = [slice(None)] * nd
-            sl_lo[a] = slice(0, -1)
-            sl_hi = [slice(None)] * nd
-            sl_hi[a] = slice(1, None)
-            nb = jnp.maximum(nb, jnp.maximum(lo[tuple(sl_hi)], hi[tuple(sl_lo)]))
-        field = jnp.maximum(field, coeff * nb)
-    return field
+    nb = field
+    for a in range(nd):
+        lo = jnp.concatenate(
+            [jnp.take(field, jnp.asarray([0]), axis=a), field], axis=a
+        )
+        hi = jnp.concatenate(
+            [field, jnp.take(field, jnp.asarray([-1]), axis=a)], axis=a
+        )
+        sl_lo = [slice(None)] * nd
+        sl_lo[a] = slice(0, -1)
+        sl_hi = [slice(None)] * nd
+        sl_hi[a] = slice(1, None)
+        nb = jnp.maximum(nb, jnp.maximum(lo[tuple(sl_lo)], hi[tuple(sl_hi)]))
+    return nb
+
+
+def fvc_smooth(field, coeff, max_iters: int = 10_000):
+    """Faithful OpenFOAM fvc::smooth (fvcSmooth.C + smoothData FaceCellWave).
+
+    OpenFOAM seeds a FaceCellWave at every face whose two cells differ by
+    more than maxRatio = 1 + coeff and propagates until, for every pair of
+    adjacent cells, field[i] >= field[j]/maxRatio — i.e. a peak decays by at
+    most a factor maxRatio per cell ring.  That fixed point is computed here
+    by the monotone iteration  field <- max(field, nbr_max(field)/maxRatio)
+    inside a lax.while_loop (values are nondecreasing and bounded by the
+    global max, so it terminates in at most the mesh diameter iterations;
+    in practice a peak stops spreading once it decays below the background).
+    Replaces the reference varScModel5's sensor smoothing
+    (varScModel5_8C_source.html:232) with identical numerics.
+    """
+    max_ratio = 1.0 + coeff
+
+    def body(carry):
+        f, _, it = carry
+        fn = jnp.maximum(f, _neighbour_max(f) / max_ratio)
+        return fn, jnp.any(fn > f), it + 1
+
+    def cond(carry):
+        _, changed, it = carry
+        return jnp.logical_and(changed, it < max_iters)
+
+    f1, changed, it = body((field, True, jnp.asarray(0)))
+    out, _, _ = jax.lax.while_loop(cond, body, (f1, changed, it))
+    return out
 
 
 @register("tau", "varScModel5")
@@ -210,13 +238,14 @@ class VarScModel5(TauModel):
     Note the reference interpolates a and c separately for tau_f here
     (interp(a)/interp(c)*h_f, :204-205)."""
 
+    # defaults follow the reference ctor (varScModel5_8C_source.html:61-68)
     alpha: float = 0.5
     Pr: float = 1.0
-    rC: float = 0.1
-    minSc: float = 0.0
-    maxSc: float = 2.0
-    cqSc: float = 0.0
-    smoothCoeff: float = 0.5
+    rC: float = 0.5
+    minSc: float = 0.05
+    maxSc: float = 1.0
+    cqSc: tp.Any = 0.0  # scalar or per-cell bad-quality floor array
+    smoothCoeff: float = 0.1
     # optional const-Sc cellSet (reference varScModel5: cells listed in the
     # `constScCells` set keep a fixed Sc instead of the sensor value)
     const_sc_mask: tp.Any = None   # 0/1 cell array
@@ -229,41 +258,59 @@ class VarScModel5(TauModel):
         grad_rho = fvsc.grad_cell(rho, _zg(mesh.ndim), mesh)
         mag_grad = jnp.sqrt(jnp.sum(jnp.square(grad_rho), axis=0))
         sc = self.rC * (mag_grad * mesh.h_cell / rho) + (1.0 - self.rC) * sc_prev
+        # reference ordering (varScModel5_8C:214-232): clamp, bad-quality
+        # floor, const-Sc cellSet overwrite, THEN fvc::smooth
         sc = jnp.clip(sc, self.minSc, self.maxSc)
         sc = jnp.maximum(sc, self.cqSc)
-        sc = _smooth_max(sc, self.smoothCoeff)
         if self.const_sc_mask is not None:
             sc = jnp.where(jnp.asarray(self.const_sc_mask) > 0,
                            self.const_sc_value, sc)
+        sc = fvc_smooth(sc, self.smoothCoeff)
         return _finish(mesh, tau, tau_f, p, sc, self.Pr)
 
 
-def _pressure_jump_sensor(mesh: Mesh, p):
-    """Per-cell |sum_faces +-(p_nei - p_own)| / mean(p_f) — the varScModel6/7
-    sensor (varScModel6_8C_source.html:215-268).  On a structured mesh the
-    signed internal sum telescopes to the 1-D second difference per axis;
-    uncoupled boundary faces contribute (p_face - p_cell) = half the mirrored
-    ghost delta, with positive sign (reference adds dpf at boundaries)."""
+def _pressure_jump_sensor(mesh: Mesh, p, bc_p=None, t=0.0):
+    """Per-cell |sum_faces +-dp_f| / mean(p_f) — the varScModel6/7 sensor
+    (varScModel6_8C_source.html:215-268).
+
+    Internal faces contribute the signed owner/neighbour jump +-(p_nei-p_own),
+    which telescopes to the per-axis second difference.  Uncoupled boundary
+    faces contribute dpf = snGrad(p)/deltaCoeffs = (p_face - p_cell) with
+    POSITIVE sign (varScModel6_8C:256-262), and p_face comes from the actual
+    p boundary condition — under the ghost convention p_face - p_cell =
+    (p_ghost - p_cell)/2, i.e. the boundary delta of the ghost-padded array
+    halved.  With bc_p=None a zeroGradient convention is used (boundary
+    dpf = 0), matching calculated/zeroGradient p patches.
+    """
+    from ..ops.pad import ghost_pad
+
     nd = mesh.ndim
-    pp = p
-    # mirrored ghost pad (zero-gradient would zero the boundary term; the
-    # reference uses the actual boundary snGrad — with calculated/zeroGrad p
-    # patches that is 0, with fixedValue it is (p_b - p_c); we use the
-    # zero-gradient convention: boundary dp = 0)
+    if bc_p is None:
+        bc_p = _zg(nd)
+    pe_full = ghost_pad(p, bc_p, mesh, t=t)
     total = jnp.zeros_like(p)
     sum_pf = jnp.zeros_like(p)
     for a in range(nd):
-        pad_lo = jnp.take(pp, jnp.asarray([0]), axis=a)
-        pad_hi = jnp.take(pp, jnp.asarray([-1]), axis=a)
-        pe = jnp.concatenate([pad_lo, pp, pad_hi], axis=a)
-        dp = jnp.diff(pe, axis=a)  # faces along a, boundary deltas = 0
+        # keep only axis-a ghosts
+        sl = [slice(1, -1)] * nd
+        sl[a] = slice(None)
+        pe = pe_full[tuple(sl)]
+        dp = jnp.diff(pe, axis=a)  # n+1 face deltas along a (ghost at ends)
+        # halve the boundary-face deltas: contribution is (p_face - p_cell)
+        first = jnp.take(dp, jnp.asarray([0]), axis=a) * 0.5
+        last = jnp.take(dp, jnp.asarray([-1]), axis=a) * 0.5
+        mid_sl = [slice(None)] * nd
+        mid_sl[a] = slice(1, -1)
+        dp = jnp.concatenate([first, dp[tuple(mid_sl)], last], axis=a)
         sl_lo = [slice(None)] * nd
         sl_lo[a] = slice(0, -1)
         sl_hi = [slice(None)] * nd
         sl_hi[a] = slice(1, None)
+        # owner/neighbour signs: +hi face (cell is owner), -lo face (neighbour);
+        # at boundaries the halved delta already carries the correct + sign:
+        # low side -(p_cell - p_ghost)/2 = +(p_face - p_cell).
         total = total + dp[tuple(sl_hi)] - dp[tuple(sl_lo)]
-        pf = 0.5 * (pe[tuple([slice(None)] * a + [slice(0, -1)])] +
-                    pe[tuple([slice(None)] * a + [slice(1, None)])])
+        pf = 0.5 * (pe[tuple(sl_lo)] + pe[tuple(sl_hi)])
         sum_pf = sum_pf + pf[tuple(sl_lo)] + pf[tuple(sl_hi)]
     mean_pf = sum_pf / (2.0 * nd)
     return jnp.abs(total) / mean_pf
@@ -278,11 +325,11 @@ class VarScModel6(TauModel):
     alpha: float = 0.5
     Pr: float = 1.0
 
-    def correct(self, mesh: Mesh, *, c, p, **_):
+    def correct(self, mesh: Mesh, *, c, p, bc_p=None, t=0.0, **_):
         tau = self.alpha * mesh.h_cell / c
         aoc_f = _interp_zg(self.alpha / c, mesh)
         tau_f = tuple(aoc_f[a] * mesh.h_face(a) for a in range(mesh.ndim))
-        sc = _pressure_jump_sensor(mesh, p)
+        sc = _pressure_jump_sensor(mesh, p, bc_p=bc_p, t=t)
         return _finish(mesh, tau, tau_f, p, sc, self.Pr)
 
 
@@ -298,11 +345,11 @@ class VarScModel7(TauModel):
     minSc: float = -1.0  # < 0 disables, as the reference
     maxSc: float = -1.0
 
-    def correct(self, mesh: Mesh, *, c, p, **_):
+    def correct(self, mesh: Mesh, *, c, p, bc_p=None, t=0.0, **_):
         tau = self.alpha * mesh.h_cell / c
         aoc_f = _interp_zg(self.alpha / c, mesh)
         tau_f = tuple(aoc_f[a] * mesh.h_face(a) for a in range(mesh.ndim))
-        sc = self.cSc1 * _pressure_jump_sensor(mesh, p)
+        sc = self.cSc1 * _pressure_jump_sensor(mesh, p, bc_p=bc_p, t=t)
         if self.minSc >= 0:
             sc = jnp.maximum(sc, self.minSc)
         if self.maxSc >= 0:

@@ -102,6 +102,11 @@ class PerfectGasThermo:
     def gamma(self) -> float:
         return self.Cp / self.Cv
 
+    def gamma_of(self, T):
+        """Uniform interface with the variable-cp thermos (a trace-time
+        constant here — solvers specialize on it)."""
+        return self.gamma
+
     # -- state relations ----------------------------------------------------
     def T_from_e(self, e):
         return e / self.Cv
@@ -234,6 +239,9 @@ class RhoThermo:
     def gamma(self) -> float:
         return self.Cp / self.Cv
 
+    def gamma_of(self, T):
+        return self.gamma
+
     def T_from_e(self, e):
         return e / self.Cv
 
@@ -322,3 +330,75 @@ class JanafThermo:
             T = T - (self.e_abs(T) - e) / jnp.maximum(self.cv(T), 1e-30)
             T = jnp.clip(T, 10.0, 20000.0)
         return T
+
+
+@register("thermo", "janafPerfectGas")
+@dataclasses.dataclass(frozen=True)
+class JanafPerfectGasThermo:
+    """Single-gas psi-thermo with a JANAF caloric closure — the reference's
+    pureMixture janaf x sutherland psiQGDThermo instantiations
+    (psiQGDThermos_8C_source.html:65-110: sutherland<janaf<perfectGas>> and
+    janaf x const combos), previously reachable here only through the
+    multicomponent MixtureThermo.
+
+    sensibleInternalEnergy convention (OpenFOAM): e_s(T) = h_a(T) - h_a(Tstd)
+    - R*T, cv(T) = cp(T) - R, gamma(T) = cp/cv, psi = 1/(R*T),
+    c = sqrt(gamma/psi)/rho^0 = sqrt(gamma R T).
+    """
+
+    janaf: JanafThermo
+    transport: Transport = ConstTransport(0.0)
+    Pr: float = 1.0
+    Tstd: float = 298.15
+
+    @property
+    def R(self) -> float:
+        return self.janaf.R
+
+    def _h_std(self, like):
+        return self.janaf.h_abs(jnp.asarray(self.Tstd, dtype=like.dtype))
+
+    # -- caloric ------------------------------------------------------------
+    def e_from_T(self, T):
+        """e_s(T) = h_a(T) - h_a(Tstd) - R*T (OpenFOAM sensibleInternalEnergy:
+        hs = ha - hc with hc = ha(Tstd) for a pure janaf gas)."""
+        T = jnp.asarray(T, dtype=jnp.result_type(float, T))
+        return self.janaf.e_abs(T) - self._h_std(T)
+
+    def T_from_e(self, e, iters: int = 12):
+        e = jnp.asarray(e)
+        e_abs = e + self._h_std(e)
+        T0 = jnp.full_like(e, 1000.0)
+        return self.janaf.T_from_e(e_abs, T0, iters=iters)
+
+    def gamma_of(self, T):
+        return self.janaf.cp(T) / self.janaf.cv(T)
+
+    # -- state relations ------------------------------------------------------
+    def psi(self, T):
+        return 1.0 / (self.R * T)
+
+    def p_from_rho_T(self, rho, T):
+        return rho * self.R * T
+
+    def rho_from_p_T(self, p, T):
+        return p * self.psi(T)
+
+    def c_from_pT(self, p, T):
+        """c = sqrt(gamma/psi) (hePsiQGDThermo_8C_source.html:123-124)."""
+        return jnp.sqrt(self.gamma_of(T) * self.R * T)
+
+    def mu(self, p, T):
+        return self.transport.mu(p, T)
+
+    def alphah(self, p, T):
+        """alpha = kappa/cp.  Sutherland transport uses OpenFOAM's modified
+        Eucken correction kappa = mu*cv*(1.32 + 1.77*R/cv) (sutherland
+        Transport::kappa); const/powerLaw use kappa = cp*mu/Pr."""
+        mu = self.transport.mu(p, T)
+        cp = self.janaf.cp(T)
+        if isinstance(self.transport, SutherlandTransport):
+            cv = self.janaf.cv(T)
+            kappa = mu * cv * (1.32 + 1.77 * self.R / cv)
+            return kappa / cp
+        return mu / self.Pr

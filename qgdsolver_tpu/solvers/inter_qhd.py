@@ -57,7 +57,7 @@ class InterQHDFoam:
     p_ref_value: float = 0.0
     cg_tol: float = 1e-8
     cg_maxiter: int = 1000
-    fvsc_scheme: str = "full"
+    fvsc_scheme: tp.Any = "full"
     mules_n_iter: int = 3
     # wall contact angles: {(axis, side): twophase.ContactAngle}
     # (qInterfaceProperties::correctContactAngle equivalent)
@@ -89,6 +89,9 @@ class InterQHDFoam:
         bc_U, bc_a, bc_p = self._bcs()
         tc = self.time
         scheme = self.fvsc_scheme
+        sch_U = fvsc.scheme_for(scheme, "grad(U)")
+        sch_a = fvsc.scheme_for(scheme, "grad(alpha1)")
+        sch_p = fvsc.scheme_for(scheme, "grad(p)")
         bc_zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
         gvec = jnp.asarray(self.g if self.g is not None else (0.0,) * nd)
         gb = gvec.reshape((nd,) + (1,) * nd)
@@ -121,8 +124,8 @@ class InterQHDFoam:
                                          contact_angles=self.contact_angles)
 
             # ---- updateFields.H ------------------------------------------
-            gradUf = fvsc.grad(U, bc_U, mesh, scheme=scheme, t=t, vector=True)
-            gradA1f = fvsc.grad(alpha1, bc_a, mesh, scheme=scheme, t=t)
+            gradUf = fvsc.grad(U, bc_U, mesh, scheme=sch_U, t=t, vector=True)
+            gradA1f = fvsc.grad(alpha1, bc_a, mesh, scheme=sch_a, t=t)
             muf = fvsc.interpolate(mu, bc_zg, mesh)
             Uf = fvsc.interpolate(U, bc_U, mesh, t=t, vector=True)
             a1f = fvsc.interpolate(alpha1, bc_a, mesh, t=t)
@@ -193,7 +196,7 @@ class InterQHDFoam:
             )
 
             # ---- W1/W2 (velocity regularizers, :173-177) -----------------
-            gradpf = fvsc.grad(p_new, bc_p, mesh, scheme=scheme, t=t)
+            gradpf = fvsc.grad(p_new, bc_p, mesh, scheme=sch_p, t=t)
             cFrcf_lin = fvsc.interpolate(cFrc, bc_zg, mesh, vector=True)
             W1 = tuple(
                 jnp.stack([

@@ -71,7 +71,7 @@ class QGDFoam:
     implicit_diffusion: bool = False
     cg_tol: float = 1e-8
     cg_maxiter: int = 500
-    fvsc_scheme: str = "full"
+    fvsc_scheme: tp.Any = "full"  # word or {term: word} dict
 
     def _bcs(self):
         nd = self.mesh.ndim
@@ -133,20 +133,20 @@ class QGDFoam:
         th = self.thermo
         bc_U, bc_p0, bc_T = self._bcs()
         tc = self.time
-        scheme = self.fvsc_scheme
+        scheme = self.fvsc_scheme  # one word or per-term dict (fvsc_8C:47-58)
+        sch_U = fvsc.scheme_for(scheme, "grad(U)")
+        sch_e = fvsc.scheme_for(scheme, "grad(e)")
+        sch_rho = fvsc.scheme_for(scheme, "grad(rho)")
+        sch_p = fvsc.scheme_for(scheme, "grad(p)")
         bc_zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
-        gamma = th.gamma
         area = tuple(mesh.face_area(a) for a in range(nd))
 
-        # e-BCs derived from T-BCs: e_wall = Cv*T_wall (sensibleInternalEnergy)
-        def t2e(b):
-            if isinstance(b, bcm.FixedValue) and not callable(b.value):
-                return bcm.FixedValue(th.Cv * jnp.asarray(b.value))
-            if isinstance(b, bcm.FixedValue):
-                return bcm.FixedValue(lambda t_, c_: th.Cv * b.value(t_, c_))
-            return b
-
-        bc_e = bc_T.map(t2e)
+        # e-BCs derived from T-BCs: e_wall = e(T_wall) (sensibleInternalEnergy)
+        bc_e = common.e_bcs_from_T(bc_T, th.e_from_T, getattr(th, "Cv", None))
+        # trace-time constant gamma for calorically perfect gases; None for
+        # variable-cp thermos (JANAF), whose gamma field is interpolated to
+        # faces per step like the reference's updateFields gamma interp
+        gamma_const = getattr(th, "gamma", None)
 
         flux_sides = self._flux_sides()
 
@@ -157,13 +157,19 @@ class QGDFoam:
             for i, (a, side) in enumerate(flux_sides):
                 bc_p = bc_p.replace(a, side, bcm.FixedGradient(s.pbc[i]))
             U, e, T, p = self.primitives(s)
+            # resolve inletOutlet markers against the current flow direction
+            bc_Ur = bcm.resolve_inlet_outlet(bc_U, U, nd)
+            bc_Tr = bcm.resolve_inlet_outlet(bc_T, U, nd)
+            bc_p = bcm.resolve_inlet_outlet(bc_p, U, nd)
+            bc_er = bcm.resolve_inlet_outlet(bc_e, U, nd)
             c = th.c_from_pT(p, T)
             mu_mol = th.mu(p, T)
             alphau_mol = th.alphah(p, T)
 
             # --- thermo.correct(): tau coefficients + effective transport
             coeffs = self.tau_model.correct(
-                mesh, c=c, p=p, rho=rho, sc_prev=sc_prev, mu=mu_mol
+                mesh, c=c, p=p, rho=rho, sc_prev=sc_prev, mu=mu_mol,
+                bc_p=bc_p, t=t,
             )
             tau_f = coeffs.tau_f
             mu_eff = mu_mol + coeffs.mu_qgd
@@ -173,8 +179,8 @@ class QGDFoam:
             # gradients here use the previous-step convention (zero-order) —
             # build padded primitives with the *configured* BCs first.
             p_pad = ghost_pad(p, bc_p, mesh, t=t)
-            T_pad = ghost_pad(T, bc_T, mesh, t=t)
-            U_pad = ghost_pad(U, bc_U, mesh, t=t, vector=True)
+            T_pad = ghost_pad(T, bc_Tr, mesh, t=t)
+            U_pad = ghost_pad(U, bc_Ur, mesh, t=t, vector=True)
             # thermodynamically-consistent derived ghosts
             rho_pad = th.rho_from_p_T(p_pad, T_pad)
             e_pad = th.e_from_T(T_pad)
@@ -197,14 +203,18 @@ class QGDFoam:
             pf = fvsc.interp_from_padded(p_pad, mesh)
             cf = fvsc.interp_from_padded(c_pad, mesh)
             Hf = fvsc.interp_from_padded(H_pad, mesh)
+            if gamma_const is not None:
+                gammaf = tuple(gamma_const for _ in range(nd))
+            else:
+                gammaf = fvsc.interp_from_padded(th.gamma_of(T_pad), mesh)
             muf = fvsc.interpolate(mu_eff, bc_zg, mesh)
             alphauf = fvsc.interpolate(alphau_eff, bc_zg, mesh)
 
             # --- updateFluxes.H: fvsc gradients (the 4 hot stencil ops)
-            gradUf = fvsc.grad_from_padded(U_pad, mesh, scheme=scheme)
-            gradef = fvsc.grad_from_padded(e_pad, mesh, scheme=scheme)
-            gradRhof = fvsc.grad_from_padded(rho_pad, mesh, scheme=scheme)
-            gradPf = fvsc.grad_from_padded(p_pad, mesh, scheme=scheme)
+            gradUf = fvsc.grad_from_padded(U_pad, mesh, scheme=sch_U)
+            gradef = fvsc.grad_from_padded(e_pad, mesh, scheme=sch_e)
+            gradRhof = fvsc.grad_from_padded(rho_pad, mesh, scheme=sch_rho)
+            gradPf = fvsc.grad_from_padded(p_pad, mesh, scheme=sch_p)
 
             # Flux assembly, fully unrolled over the (small, static) component
             # indices.  Two deliberate deviations from a naive translation,
@@ -246,7 +256,7 @@ class QGDFoam:
                 phiJmU[a] = phiJm[a] * uf
                 phiP[a] = area[a] * pf[a]  # vector: normal component only
                 u_gradp = sum(uf[i] * gradPf[a][i] for i in range(nd))
-                iso = u_gradp + gamma * pf[a] * divU
+                iso = u_gradp + gammaf[a] * pf[a] * divU
                 urr = UrhoUf_row[a]  # (k,faces): interp(U_a * rhoU_k)
                 pi_row = []
                 for j in range(nd):
@@ -300,7 +310,7 @@ class QGDFoam:
             phiSigmaDotU = tuple(jnp.zeros_like(phiJm[a]) for a in range(nd))
             if self.implicit_diffusion:
                 # tauMC = muEff*dev2(grad(U)^T); phiTauMC = Sf & interp(tauMC)
-                gradU_cell = fvsc.grad_cell_vector(U, bc_U, mesh, t=t)
+                gradU_cell = fvsc.grad_cell_vector(U, bc_Ur, mesh, t=t)
                 tauMC = mu_eff * dev2T(gradU_cell, nd)
                 tauMC_f = fvsc.interpolate(
                     tauMC.reshape((nd * nd,) + mesh.shape), bc_zg, mesh
@@ -315,7 +325,7 @@ class QGDFoam:
                 )
                 resU = linsolve.solve_helmholtz(
                     diag_coeff=rho_new / dt_new, gamma_faces=muf, rhs=rhs_U,
-                    x0=U_new, bcs=bc_U, mesh=mesh, t=t, vector=True,
+                    x0=U_new, bcs=bc_Ur, mesh=mesh, t=t, vector=True,
                     tol=self.cg_tol, maxiter=self.cg_maxiter,
                 )
                 U_new = resU.x
@@ -347,7 +357,7 @@ class QGDFoam:
                 rhs_e = rho_new * e_new / dt_new
                 resE = linsolve.solve_helmholtz(
                     diag_coeff=rho_new / dt_new, gamma_faces=alphauf, rhs=rhs_e,
-                    x0=e_new, bcs=bc_e, mesh=mesh, t=t,
+                    x0=e_new, bcs=bc_er, mesh=mesh, t=t,
                     tol=self.cg_tol, maxiter=self.cg_maxiter,
                 )
                 e_new = resE.x

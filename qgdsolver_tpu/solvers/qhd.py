@@ -93,7 +93,7 @@ class QHDFoam:
     p_ref_value: float = 0.0
     cg_tol: float = 1e-8
     cg_maxiter: int = 1000
-    fvsc_scheme: str = "full"
+    fvsc_scheme: tp.Any = "full"
     # "standard" = QHDTEqn.H; "mules" = MULESTEqn.H bounded explicit
     # advection + implicit diffusion correction (mulesQHDFoam)
     t_equation: str = "standard"
@@ -131,21 +131,27 @@ class QHDFoam:
         singular = self._p_singular(bc_p0)
         bc_zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
         scheme = self.fvsc_scheme
+        sch_U = fvsc.scheme_for(scheme, "grad(U)")
+        sch_T = fvsc.scheme_for(scheme, "grad(T)")
+        sch_p = fvsc.scheme_for(scheme, "grad(p)")
 
         def step(s: State) -> State:
             U, T, p, t, dt = s
+            # resolve inletOutlet markers against the current flow direction
+            bc_Us = bcm.resolve_inlet_outlet(bc_U, U, nd)
+            bc_Ts = bcm.resolve_inlet_outlet(bc_T, U, nd)
             rho = thermo.rho(p, T)
             mu = thermo.mu(p, T)
             alpha = thermo.alphah(p, T)
 
             # ---- updateFields.H ------------------------------------------
-            gradUf = fvsc.grad(U, bc_U, mesh, scheme=scheme, t=t, vector=True)
-            gradTf = fvsc.grad(T, bc_T, mesh, scheme=scheme, t=t)
+            gradUf = fvsc.grad(U, bc_Us, mesh, scheme=sch_U, t=t, vector=True)
+            gradTf = fvsc.grad(T, bc_Ts, mesh, scheme=sch_T, t=t)
             muf = fvsc.interpolate(mu, bc_zg, mesh)
             alphaf = fvsc.interpolate(alpha, bc_zg, mesh)
             rhof = fvsc.interpolate(rho, bc_zg, mesh)
-            Uf = fvsc.interpolate(U, bc_U, mesh, t=t, vector=True)
-            Tf = fvsc.interpolate(T, bc_T, mesh, t=t)
+            Uf = fvsc.interpolate(U, bc_Us, mesh, t=t, vector=True)
+            Tf = fvsc.interpolate(T, bc_Ts, mesh, t=t)
             BdFrc = thermo.beta * T[None] * gvec.reshape((nd,) + (1,) * nd)
             if self.omega is not None:
                 # SRF body force: BdFrc -= 2*Omega x U (Coriolis, reference
@@ -203,7 +209,7 @@ class QHDFoam:
                         sign = -1.0 if side == 0 else 1.0
                         # outward-normal gradient; wn/tau = phiwStar/(tau|Sf|)
                         flux_grads[(a, side)] = -sign * wn * rf / tf
-            bc_p = _sub_flux_bc(bc_p0, flux_grads)
+            bc_p = bcm.resolve_inlet_outlet(_sub_flux_bc(bc_p0, flux_grads), U, nd)
 
             rhs_p = fvsc.div_flux(phiu, mesh) - fvsc.div_flux(phiwo, mesh)
             res = linsolve.solve_helmholtz(
@@ -229,7 +235,7 @@ class QHDFoam:
                 phi = tuple(phi[a] - um[a] * area[a] for a in range(nd))
 
             # ---- QHDUEqn.H ----------------------------------------------
-            gradPf = fvsc.grad(p_new, bc_p, mesh, scheme=scheme, t=t)
+            gradPf = fvsc.grad(p_new, bc_p, mesh, scheme=sch_p, t=t)
             Wf = tuple(
                 tau_f[a] * (u_dot_gradU[a] + gradPf[a] / rhof[a] - BdFrcf[a])
                 for a in range(nd)
@@ -239,7 +245,7 @@ class QHDFoam:
             nuf = tuple(muf[a] / rhof[a] for a in range(nd))
 
             # explicit transpose-stress: div(nu_f * Sf & interp(gradU^T))
-            gradU_cell = fvsc.grad_cell_vector(U, bc_U, mesh, t=t)  # (i,j,cells)
+            gradU_cell = fvsc.grad_cell_vector(U, bc_Us, mesh, t=t)  # (i,j,cells)
             gradUT = jnp.swapaxes(gradU_cell, 0, 1)  # (j,i,...) -> rows=comp
             gradUT_f = fvsc.interpolate(
                 gradUT.reshape((nd * nd,) + mesh.shape), bc_zg, mesh, vector=False
@@ -262,12 +268,12 @@ class QHDFoam:
             if self.implicit_diffusion:
                 resU = linsolve.solve_helmholtz(
                     diag_coeff=1.0 / dt_new, gamma_faces=nuf, rhs=rhs_U, x0=U,
-                    bcs=bc_U, mesh=mesh, t=t, vector=True,
+                    bcs=bc_Us, mesh=mesh, t=t, vector=True,
                     tol=self.cg_tol, maxiter=self.cg_maxiter,
                 )
                 U_new = resU.x
             else:
-                lapU = fvsc.laplacian_explicit(nuf, U, bc_U, mesh, t=t, vector=True)
+                lapU = fvsc.laplacian_explicit(nuf, U, bc_Us, mesh, t=t, vector=True)
                 U_new = dt_new * (rhs_U + lapU)
 
             phiTf = tuple(phi[a] * Tf[a] for a in range(nd))
@@ -284,12 +290,12 @@ class QHDFoam:
                 if self.implicit_diffusion:
                     resT = linsolve.solve_helmholtz(
                         diag_coeff=1.0 / dt_new, gamma_faces=Hif,
-                        rhs=T_adv / dt_new, x0=T_adv, bcs=bc_T, mesh=mesh,
+                        rhs=T_adv / dt_new, x0=T_adv, bcs=bc_Ts, mesh=mesh,
                         t=t, tol=self.cg_tol, maxiter=self.cg_maxiter,
                     )
                     T_new = resT.x
                 else:
-                    lapT = fvsc.laplacian_explicit(Hif, T_adv, bc_T, mesh, t=t)
+                    lapT = fvsc.laplacian_explicit(Hif, T_adv, bc_Ts, mesh, t=t)
                     T_new = T_adv + dt_new * lapT
             else:
                 # ---- QHDTEqn.H ------------------------------------------
@@ -307,12 +313,12 @@ class QHDFoam:
                 if self.implicit_diffusion:
                     resT = linsolve.solve_helmholtz(
                         diag_coeff=1.0 / dt_new, gamma_faces=Hif, rhs=rhs_T,
-                        x0=T, bcs=bc_T, mesh=mesh, t=t,
+                        x0=T, bcs=bc_Ts, mesh=mesh, t=t,
                         tol=self.cg_tol, maxiter=self.cg_maxiter,
                     )
                     T_new = resT.x
                 else:
-                    lapT = fvsc.laplacian_explicit(Hif, T, bc_T, mesh, t=t)
+                    lapT = fvsc.laplacian_explicit(Hif, T, bc_Ts, mesh, t=t)
                     T_new = dt_new * (rhs_T + lapT)
 
             return State(U=U_new, T=T_new, p=p_new, t=t + dt_new, dt=dt_new)

@@ -61,12 +61,13 @@ class ReactingQGDFoam:
     bc_U: tp.Optional[bcm.FieldBCs] = None
     bc_p: tp.Optional[bcm.FieldBCs] = None
     bc_T: tp.Optional[bcm.FieldBCs] = None
-    bc_Y: tp.Optional[bcm.FieldBCs] = None
+    # one FieldBCs for all species, or a per-specie tuple of FieldBCs
+    bc_Y: tp.Any = None
     time: TimeControls = TimeControls()
     implicit_diffusion: bool = False
     cg_tol: float = 1e-8
     cg_maxiter: int = 500
-    fvsc_scheme: str = "full"
+    fvsc_scheme: tp.Any = "full"
 
     def _bcs(self):
         nd = self.mesh.ndim
@@ -108,28 +109,41 @@ class ReactingQGDFoam:
         bc_U, bc_p0, bc_T, bc_Y = self._bcs()
         tc = self.time
         scheme = self.fvsc_scheme
+        sch_U = fvsc.scheme_for(scheme, "grad(U)")
+        sch_e = fvsc.scheme_for(scheme, "grad(e)")
+        sch_rho = fvsc.scheme_for(scheme, "grad(rho)")
+        sch_p = fvsc.scheme_for(scheme, "grad(p)")
+        sch_Y = fvsc.scheme_for(scheme, "grad(Yi)")
         bc_zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
         area = tuple(mesh.face_area(a) for a in range(nd))
 
         def step(s: State) -> State:
             rho, rhoU, rhoE, Y, T_guess, sc_prev, t, dt = s
             U, e, T, p = self.primitives(s)
+            # resolve inletOutlet markers against the current flow direction
+            bc_Us = bcm.resolve_inlet_outlet(bc_U, U, nd)
+            bc_Ts = bcm.resolve_inlet_outlet(bc_T, U, nd)
+            bc_ps = bcm.resolve_inlet_outlet(bc_p0, U, nd)
+            bc_Ys = (bcm.resolve_inlet_outlet(bc_Y, U, nd)
+                     if isinstance(bc_Y, bcm.FieldBCs)
+                     else tuple(bcm.resolve_inlet_outlet(b, U, nd) for b in bc_Y))
             c = mix.c_from_pT(Y, p, T)
             mu_mol = mix.mu(p, T)
             alphau_mol = mix.alphah(p, T)
 
             coeffs = self.tau_model.correct(
-                mesh, c=c, p=p, rho=rho, sc_prev=sc_prev, mu=mu_mol
+                mesh, c=c, p=p, rho=rho, sc_prev=sc_prev, mu=mu_mol,
+                bc_p=bc_ps, t=t,
             )
             tau_f = coeffs.tau_f
             mu_eff = mu_mol + coeffs.mu_qgd
             alphau_eff = alphau_mol + coeffs.alphau_qgd
 
             # padded primitives with thermodynamically-consistent ghosts
-            p_pad = ghost_pad(p, bc_p0, mesh, t=t)
-            T_pad = ghost_pad(T, bc_T, mesh, t=t)
-            U_pad = ghost_pad(U, bc_U, mesh, t=t, vector=True)
-            Y_pad = ghost_pad(Y, bc_Y, mesh, t=t)  # leading species axis
+            p_pad = ghost_pad(p, bc_ps, mesh, t=t)
+            T_pad = ghost_pad(T, bc_Ts, mesh, t=t)
+            U_pad = ghost_pad(U, bc_Us, mesh, t=t, vector=True)
+            Y_pad = _pad_species(Y, bc_Ys, mesh, t)  # leading species axis
             rho_pad = mix.rho_from_p_T(Y_pad, p_pad, T_pad)
             e_pad = mix.e_from_T(Y_pad, T_pad)
             rhoU_pad = rho_pad[None] * U_pad
@@ -153,11 +167,11 @@ class ReactingQGDFoam:
             muf = fvsc.interpolate(mu_eff, bc_zg, mesh)
             alphauf = fvsc.interpolate(alphau_eff, bc_zg, mesh)
 
-            gradUf = fvsc.grad_from_padded(U_pad, mesh, scheme=scheme)
-            gradef = fvsc.grad_from_padded(e_pad, mesh, scheme=scheme)
-            gradRhof = fvsc.grad_from_padded(rho_pad, mesh, scheme=scheme)
-            gradPf = fvsc.grad_from_padded(p_pad, mesh, scheme=scheme)
-            gradYf = fvsc.grad_from_padded(Y_pad, mesh, scheme=scheme)
+            gradUf = fvsc.grad_from_padded(U_pad, mesh, scheme=sch_U)
+            gradef = fvsc.grad_from_padded(e_pad, mesh, scheme=sch_e)
+            gradRhof = fvsc.grad_from_padded(rho_pad, mesh, scheme=sch_rho)
+            gradPf = fvsc.grad_from_padded(p_pad, mesh, scheme=sch_p)
+            gradYf = fvsc.grad_from_padded(Y_pad, mesh, scheme=sch_Y)
             snYf = fvsc.sn_grad_from_padded(Y_pad, mesh)
 
             phiJm = [None] * nd
@@ -251,7 +265,7 @@ class ReactingQGDFoam:
                 aux = {"mu_eff": mu_eff}
                 if getattr(self.combustion, "needs_grad", False):
                     aux["gradY"] = tuple(
-                        fvsc.grad_cell(Y[i], _bc_species(bc_Y, i), mesh, t=t)
+                        fvsc.grad_cell(Y[i], _bc_species(bc_Ys, i), mesh, t=t)
                         for i in range(ns))
             if self.chemistry_solver is not None:
                 RR, Qdot = self.chemistry_solver.rates(
@@ -267,7 +281,7 @@ class ReactingQGDFoam:
                     continue
                 gamma_y = tuple(muf[a] / sc_nums[i] for a in range(nd))
                 lap_Yi = fvsc.laplacian_explicit(
-                    gamma_y, Y[i], _bc_species(bc_Y, i), mesh, t=t
+                    gamma_y, Y[i], _bc_species(bc_Ys, i), mesh, t=t
                 )
                 rhs = rho * Y[i] / dt_new - fvsc.div_flux(
                     tuple(phiJmY[i]), mesh
@@ -277,7 +291,7 @@ class ReactingQGDFoam:
                 if self.implicit_diffusion:
                     res = linsolve.solve_helmholtz(
                         diag_coeff=rho_new / dt_new, gamma_faces=gamma_y,
-                        rhs=rhs, x0=Y[i], bcs=_bc_species(bc_Y, i), mesh=mesh,
+                        rhs=rhs, x0=Y[i], bcs=_bc_species(bc_Ys, i), mesh=mesh,
                         t=t, tol=self.cg_tol, maxiter=self.cg_maxiter,
                     )
                     Yi = res.x
@@ -332,7 +346,7 @@ class ReactingQGDFoam:
             phiSigmaDotU = None
             if self.implicit_diffusion:
                 # implicit NS diffusion sub-step (QGDUEqn_8H:54-75)
-                gradU_cell = fvsc.grad_cell_vector(U, bc_U, mesh, t=t)
+                gradU_cell = fvsc.grad_cell_vector(U, bc_Us, mesh, t=t)
                 from .qgd import dev2T
 
                 tauMC = mu_eff * dev2T(gradU_cell, nd)
@@ -346,7 +360,7 @@ class ReactingQGDFoam:
                 resU = linsolve.solve_helmholtz(
                     diag_coeff=rho_new / dt_new, gamma_faces=muf,
                     rhs=rho_new * U_new / dt_new + fvsc.div_flux(phiTauMC, mesh),
-                    x0=U_new, bcs=bc_U, mesh=mesh, t=t, vector=True,
+                    x0=U_new, bcs=bc_Us, mesh=mesh, t=t, vector=True,
                     tol=self.cg_tol, maxiter=self.cg_maxiter,
                 )
                 U_new = resU.x
@@ -392,6 +406,24 @@ class ReactingQGDFoam:
         return step
 
 
-def _bc_species(bc_Y: bcm.FieldBCs, i: int) -> bcm.FieldBCs:
-    """Per-specie BC view (uniform bc_Y applies to every specie)."""
-    return bc_Y
+def _bc_species(bc_Y, i: int) -> bcm.FieldBCs:
+    """Per-specie BC view: bc_Y may be one FieldBCs applied uniformly, or a
+    sequence with one FieldBCs per specie — the reference's species fields
+    each carry their own boundary dictionaries (QGDYEqn_8H_source.html:35-92
+    solves each specie with its own Y_i patches)."""
+    if isinstance(bc_Y, bcm.FieldBCs):
+        return bc_Y
+    return bc_Y[i]
+
+
+def _pad_species(Y, bc_Y, mesh, t):
+    """Ghost-pad the (ns, *cells) species stack under per-specie BCs."""
+    from ..ops.pad import ghost_pad as _gp
+
+    if isinstance(bc_Y, bcm.FieldBCs):
+        return _gp(Y, bc_Y, mesh, t=t)
+    import jax.numpy as _jnp
+
+    return _jnp.stack(
+        [_gp(Y[i], bc_Y[i], mesh, t=t) for i in range(Y.shape[0])], axis=0
+    )

@@ -62,7 +62,7 @@ class ZQGDFoam:
     implicit_diffusion: bool = False
     cg_tol: float = 1e-8
     cg_maxiter: int = 500
-    fvsc_scheme: str = "full"
+    fvsc_scheme: tp.Any = "full"
 
     def _bcs(self):
         nd = self.mesh.ndim
@@ -88,7 +88,15 @@ class ZQGDFoam:
         bc_U, bc_p0, bc_T = self._bcs()
         tc = self.time
         scheme = self.fvsc_scheme
+        sch_U = fvsc.scheme_for(scheme, "grad(U)")
+        sch_e = fvsc.scheme_for(scheme, "grad(e)")
+        sch_rho = fvsc.scheme_for(scheme, "grad(rho)")
+        sch_p = fvsc.scheme_for(scheme, "grad(p)")
+        sch_rhoU = fvsc.scheme_for(scheme, "grad(rhoU)")
         bc_zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
+        # implicit e-solve BCs derived from the configured T BCs (the fix the
+        # reference gets for free via thermo.he() patch types, QGDEEqn_8H:37-76)
+        bc_e = common.e_bcs_from_T(bc_T, th.e_from_T, getattr(th, "Cv", None))
         gamma = th.gamma
         area = tuple(mesh.face_area(a) for a in range(nd))
 
@@ -105,20 +113,26 @@ class ZQGDFoam:
         def step(s: State) -> State:
             rho, rhoU, rhoE, sc_prev, t, dt = s[:6]
             U, e, T, p = self.primitives(s)
+            # resolve inletOutlet markers against the current flow direction
+            bc_Us = bcm.resolve_inlet_outlet(bc_U, U, nd)
+            bc_Ts = bcm.resolve_inlet_outlet(bc_T, U, nd)
+            bc_ps = bcm.resolve_inlet_outlet(bc_p0, U, nd)
+            bc_es = bcm.resolve_inlet_outlet(bc_e, U, nd)
             c = th.c_from_pT(p, T)
             mu_mol = th.mu(p, T)
             alphau_mol = th.alphah(p, T)
 
             coeffs = self.tau_model.correct(
-                mesh, c=c, p=p, rho=rho, sc_prev=sc_prev, mu=mu_mol
+                mesh, c=c, p=p, rho=rho, sc_prev=sc_prev, mu=mu_mol,
+                bc_p=bc_ps, t=t,
             )
             tau_f = coeffs.tau_f
             mu_eff = mu_mol + coeffs.mu_qgd
             alphau_eff = alphau_mol + coeffs.alphau_qgd
 
-            p_pad = ghost_pad(p, bc_p0, mesh, t=t)
-            T_pad = ghost_pad(T, bc_T, mesh, t=t)
-            U_pad = ghost_pad(U, bc_U, mesh, t=t, vector=True)
+            p_pad = ghost_pad(p, bc_ps, mesh, t=t)
+            T_pad = ghost_pad(T, bc_Ts, mesh, t=t)
+            U_pad = ghost_pad(U, bc_Us, mesh, t=t, vector=True)
             rho_pad = th.rho_from_p_T(p_pad, T_pad)
             e_pad = th.e_from_T(T_pad)
             rhoU_pad = rho_pad[None] * U_pad
@@ -132,11 +146,11 @@ class ZQGDFoam:
             muf = fvsc.interpolate(mu_eff, bc_zg, mesh)
             alphauf = fvsc.interpolate(alphau_eff, bc_zg, mesh)
 
-            gradUf = fvsc.grad_from_padded(U_pad, mesh, scheme=scheme)
-            gradef = fvsc.grad_from_padded(e_pad, mesh, scheme=scheme)
-            gradRhof = fvsc.grad_from_padded(rho_pad, mesh, scheme=scheme)
-            gradPf = fvsc.grad_from_padded(p_pad, mesh, scheme=scheme)
-            gradRhoUf = fvsc.grad_from_padded(rhoU_pad, mesh, scheme=scheme)
+            gradUf = fvsc.grad_from_padded(U_pad, mesh, scheme=sch_U)
+            gradef = fvsc.grad_from_padded(e_pad, mesh, scheme=sch_e)
+            gradRhof = fvsc.grad_from_padded(rho_pad, mesh, scheme=sch_rho)
+            gradPf = fvsc.grad_from_padded(p_pad, mesh, scheme=sch_p)
+            gradRhoUf = fvsc.grad_from_padded(rhoU_pad, mesh, scheme=sch_rhoU)
             snU = fvsc.sn_grad_from_padded(U_pad, mesh)
             snP = fvsc.sn_grad_from_padded(p_pad, mesh)
 
@@ -225,7 +239,7 @@ class ZQGDFoam:
                 rhs_U = rho_new * U_new / dt_new
                 resU = linsolve.solve_helmholtz(
                     diag_coeff=rho_new / dt_new, gamma_faces=muf_t, rhs=rhs_U,
-                    x0=U_new, bcs=bc_U, mesh=mesh, t=t, vector=True,
+                    x0=U_new, bcs=bc_Us, mesh=mesh, t=t, vector=True,
                     tol=self.cg_tol, maxiter=self.cg_maxiter,
                 )
                 U_new = resU.x
@@ -233,7 +247,7 @@ class ZQGDFoam:
                 e_new = rhoE_new / rho_new - 0.5 * jnp.sum(U_new * U_new, axis=0)
                 resE = linsolve.solve_helmholtz(
                     diag_coeff=rho_new / dt_new, gamma_faces=alphauf,
-                    rhs=rho_new * e_new / dt_new, x0=e_new, bcs=bc_zg,
+                    rhs=rho_new * e_new / dt_new, x0=e_new, bcs=bc_es,
                     mesh=mesh, t=t, tol=self.cg_tol, maxiter=self.cg_maxiter,
                 )
                 rhoE_new = rho_new * (resE.x + 0.5 * jnp.sum(U_new * U_new, axis=0))
