@@ -92,7 +92,38 @@ class Lexer {
         if (s.empty()) { ++p_; return next(t); }
         char* end = nullptr;
         double v = std::strtod(s.c_str(), &end);
-        if (end && *end == '\0') {
+        bool numeric = (end && *end == '\0');
+        // OpenFOAM words may embed balanced parentheses with no whitespace:
+        // grad(p), div(phi,U), div((rho*U)) are single keyword tokens
+        // (fvSchemes per-term entries).  Only attach when the paren group is
+        // whitespace-free — `4((0 0 0) ...)` stays a count + list.
+        if (!numeric && *p_ == '(') {
+            const char* q = p_;
+            int depth = 0;
+            bool word_form = true;
+            do {
+                char c2 = *q;
+                if (!c2 || std::isspace((unsigned char)c2) ||
+                    strchr("{}[];\"", c2)) {
+                    word_form = false;
+                    break;
+                }
+                if (c2 == '(') ++depth;
+                else if (c2 == ')') --depth;
+                ++q;
+            } while (depth > 0);
+            if (word_form) {
+                s.append(p_, q - p_);
+                p_ = q;
+                while (*p_ && !std::isspace((unsigned char)*p_) &&
+                       !strchr("{}()[];\"", *p_)) {
+                    s += *p_++;
+                }
+                t = {Tok::WORD, s};
+                return true;
+            }
+        }
+        if (numeric) {
             t.kind = Tok::NUM;
             t.text = s;
             t.num = v;

@@ -1,0 +1,304 @@
+"""OpenFOAM mesh + field-file ingestion: blockMeshDict and `0/` directories.
+
+Completes the end-to-end case path the reference gets from OpenFOAM's L0
+substrate (SURVEY.md §2.5): every solver's createFields MUST_READs the
+prognostic fields with their boundary dictionaries at startup (reference
+QGDFoam_2createFields_8H orig. lines 3-35) and BC types dispatch from the
+field files' `boundaryField` type words (qgdFluxFvPatchScalarField_8C etc.).
+
+Scope — the structured-brick subset this framework targets:
+  * blockMeshDict with ONE hex block, optional simpleGrading (geometric
+    per-axis expansion), named boundary patches; `empty` patches collapse the
+    normal axis (OpenFOAM's 2D convention) so a 2D case yields a 2D Mesh.
+  * `0/<field>` files: `internalField uniform ...` or
+    `nonuniform List<...> (...)` (OpenFOAM cell ordering: x fastest), and
+    `boundaryField` entries mapped onto (axis, side) through the
+    blockMeshDict patch planes.
+
+BC type words resolve through the same `core.registry` "bc" table the JSON
+config path uses, so qgdFlux/qhdFlux/cosVelocity/inletOutlet all work from
+field dictionaries exactly as in the reference.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import foamdict
+from ..core.mesh import Mesh
+from ..core import bc as bcm
+from ..core import config as _config  # noqa: F401 — registers the BC words
+from ..core.registry import create
+
+
+# ---------------------------------------------------------------------------
+# blockMeshDict -> Mesh
+# ---------------------------------------------------------------------------
+
+
+def _graded_faces(x0, x1, n, ratio):
+    """Face coordinates for n cells over [x0, x1] with simpleGrading `ratio`
+    (OpenFOAM: size(last cell)/size(first cell); geometric progression)."""
+    if n == 1 or abs(ratio - 1.0) < 1e-12:
+        return np.linspace(x0, x1, n + 1, dtype=np.float64)
+    k = ratio ** (1.0 / (n - 1))  # adjacent-cell size ratio
+    first = (x1 - x0) * (1.0 - k) / (1.0 - k**n)
+    sizes = first * k ** np.arange(n)
+    return x0 + np.concatenate([[0.0], np.cumsum(sizes)])
+
+
+def _as_float_list(v):
+    return [float(x) for x in v]
+
+
+def parse_block_mesh(bmd: dict):
+    """blockMeshDict dict -> (Mesh, patch_map, kept_axes).
+
+    patch_map: {patch_name: (mesh_axis, side)} for the non-collapsed axes;
+    kept_axes: the original xyz axes retained in the Mesh (2D cases drop the
+    `empty`-patch axis).
+    """
+    scale = float(bmd.get("convertToMeters", bmd.get("scale", 1.0)) or 1.0)
+    verts = [np.asarray(_as_float_list(v)) * scale for v in bmd["vertices"]]
+
+    blocks = bmd["blocks"]
+    # tokens: hex (v0..v7) (nx ny nz) [simpleGrading (gx gy gz)]
+    if not isinstance(blocks, list) or blocks[0] != "hex":
+        raise ValueError("only single-hex blockMeshDicts are supported")
+    hex_verts = [int(i) for i in blocks[1]]
+    counts = [int(n) for n in blocks[2]]
+    grading = [1.0, 1.0, 1.0]
+    for i, tok in enumerate(blocks):
+        if tok in ("simpleGrading", "edgeGrading"):
+            g = blocks[i + 1]
+            if tok == "edgeGrading":
+                # per-edge grading: take the first edge of each axis group
+                grading = [float(g[0]), float(g[4]), float(g[8])]
+            else:
+                grading = [float(x) for x in g]
+
+    vs = np.stack([verts[i] for i in hex_verts])  # (8, 3)
+    lo = vs.min(axis=0)
+    hi = vs.max(axis=0)
+    if not np.allclose(np.sort(np.unique(np.round(vs, 12), axis=0), axis=0).shape[0],
+                       8):
+        pass  # axis-aligned check below is the real guard
+    # axis-aligned brick check: every vertex coordinate is lo or hi
+    for ax in range(3):
+        vals = np.unique(vs[:, ax])
+        if len(vals) != 2:
+            raise ValueError(
+                "blockMeshDict hex is not an axis-aligned brick "
+                f"(axis {ax} vertex coords {vals})")
+
+    # boundary patches -> (axis, side) by the constant-coordinate plane
+    patch_entries = bmd.get("boundary", [])
+    # parser emits [name, {..}, name, {..}] or [[name, {...}], ...]
+    pairs = []
+    i = 0
+    while i < len(patch_entries):
+        e = patch_entries[i]
+        if isinstance(e, str) and i + 1 < len(patch_entries) and \
+                isinstance(patch_entries[i + 1], dict):
+            pairs.append((e, patch_entries[i + 1]))
+            i += 2
+        elif isinstance(e, list) and len(e) == 2:
+            pairs.append((e[0], e[1]))
+            i += 1
+        else:
+            i += 1
+
+    empty_axes = set()
+    raw_patch_plane = {}
+    for name, entry in pairs:
+        ptype = entry.get("type", "patch")
+        faces = entry.get("faces", [])
+        if faces and not isinstance(faces[0], list):
+            faces = [faces]
+        axes_sides = set()
+        for quad in faces:
+            pts = np.stack([verts[int(i)] for i in quad])
+            for ax in range(3):
+                if np.ptp(pts[:, ax]) < 1e-12:
+                    side = 1 if abs(pts[0, ax] - hi[ax]) < 1e-12 else 0
+                    axes_sides.add((ax, side))
+                    break
+            else:
+                raise ValueError(f"patch {name}: face {quad} is not axis-aligned")
+        raw_patch_plane[name] = (ptype, axes_sides)
+        if ptype == "empty":
+            empty_axes.update(ax for ax, _ in axes_sides)
+        if ptype == "wedge":
+            raise ValueError("wedge (axisymmetric) meshes are not supported")
+
+    kept_axes = [ax for ax in range(3) if counts[ax] > 0 and ax not in empty_axes]
+    # OpenFOAM 2D: the empty axis has one cell
+    for ax in empty_axes:
+        if counts[ax] != 1:
+            raise ValueError(f"empty axis {ax} must have 1 cell, got {counts[ax]}")
+
+    x_faces = tuple(
+        _graded_faces(lo[ax], hi[ax], counts[ax], grading[ax])
+        for ax in kept_axes
+    )
+    mesh = Mesh(x_faces=x_faces)
+
+    axis_of = {ax: i for i, ax in enumerate(kept_axes)}
+    patch_map = {}
+    for name, (ptype, axes_sides) in raw_patch_plane.items():
+        if ptype == "empty":
+            continue
+        mapped = {(axis_of[ax], side) for ax, side in axes_sides
+                  if ax in axis_of}
+        if mapped:
+            patch_map[name] = (ptype, tuple(sorted(mapped)))
+    return mesh, patch_map, tuple(kept_axes)
+
+
+def load_block_mesh(case_dir: str):
+    """Read system/blockMeshDict (or constant/polyMesh/blockMeshDict)."""
+    for rel in ("system/blockMeshDict", "constant/polyMesh/blockMeshDict"):
+        p = os.path.join(case_dir, rel)
+        if os.path.exists(p):
+            return parse_block_mesh(foamdict.parse_file(p))
+    raise FileNotFoundError(f"no blockMeshDict under {case_dir}")
+
+
+# ---------------------------------------------------------------------------
+# 0/<field> files
+# ---------------------------------------------------------------------------
+
+
+def _uniform_value(tokens, kept_axes=None, vector=False):
+    """`uniform 300` / `uniform (1 2 3)` token list -> scalar or component
+    list (vector components restricted to the kept axes)."""
+    if isinstance(tokens, list) and tokens and tokens[0] == "uniform":
+        v = tokens[1]
+    else:
+        v = tokens
+    if isinstance(v, list):
+        if vector and kept_axes is not None:
+            return [float(v[ax]) for ax in kept_axes]
+        return [float(x) for x in v]
+    return float(v)
+
+
+def _internal_field(tokens, mesh: Mesh, kept_axes, counts3, vector):
+    """internalField entry -> ndarray over mesh.shape (leading component axis
+    for vectors).  Handles `uniform ...` and `nonuniform List<T> n (...)`
+    with OpenFOAM cell ordering (x fastest, then y, then z)."""
+    nd = mesh.ndim
+    if isinstance(tokens, list) and tokens and tokens[0] == "nonuniform":
+        vals = tokens[-1]  # the parenthesised list
+        arr = np.asarray(vals, dtype=np.float64)
+        if vector:
+            # (ncells, 3) in x-fastest order
+            comps = []
+            for ax in kept_axes:
+                comp = arr[:, ax].reshape(tuple(counts3), order="F")
+                comps.append(_squeeze_to(comp, kept_axes))
+            return np.stack(comps, axis=0)
+        full = arr.reshape(tuple(counts3), order="F")
+        return _squeeze_to(full, kept_axes)
+    v = _uniform_value(tokens, kept_axes, vector)
+    if vector:
+        return np.stack([np.full(mesh.shape, c) for c in v], axis=0)
+    return np.full(mesh.shape, v)
+
+
+def _squeeze_to(arr3, kept_axes):
+    """Drop the collapsed (empty) axes of a (nx, ny, nz) array."""
+    drop = tuple(ax for ax in range(3) if ax not in kept_axes)
+    return np.squeeze(arr3, axis=drop) if drop else arr3
+
+
+def _bc_from_entry(entry: dict, ndim: int, kept_axes, vector: bool) -> bcm.BC:
+    """boundaryField patch entry -> BC via the registry (field-file `type`
+    word dispatch, the OpenFOAM fvPatchField RTS equivalent)."""
+    word = entry.get("type", "zeroGradient")
+    if isinstance(word, list):
+        word = word[0]
+    kw = {"ndim": ndim}
+    if "value" in entry:
+        kw["value"] = _uniform_value(entry["value"], kept_axes, vector)
+    if "inletValue" in entry:
+        kw["inletValue"] = _uniform_value(entry["inletValue"], kept_axes, vector)
+    if "gradient" in entry:
+        kw["gradient"] = _uniform_value(entry["gradient"], kept_axes, vector)
+    for extra in ("amplitude", "omega0", "phi0", "height"):
+        if extra in entry:
+            kw[extra] = float(entry[extra])
+    word_map = {
+        "empty": "zeroGradient",
+        "calculated": "zeroGradient",
+        "symmetryPlane": "symmetry",
+        "waveTransmissive": "extrapolated",
+    }
+    word = word_map.get(str(word), str(word))
+    try:
+        return create("bc", word, **kw)
+    except KeyError:
+        raise ValueError(f"unsupported boundary type word {word!r}")
+
+
+def parse_field_file(path: str, mesh: Mesh, patch_map, kept_axes,
+                     counts3=None, default_bc=None):
+    """0/<field> file -> (internal ndarray, FieldBCs).
+
+    The field class word (volScalarField / volVectorField) decides vector
+    handling; vector components are restricted to the kept mesh axes.
+    """
+    d = foamdict.parse_file(path)
+    cls = str(d.get("FoamFile", {}).get("class", "volScalarField"))
+    vector = "Vector" in cls
+    nd = mesh.ndim
+    if counts3 is None:
+        counts3 = [1, 1, 1]
+        for i, ax in enumerate(kept_axes):
+            counts3[ax] = mesh.shape[i]
+
+    internal = _internal_field(d.get("internalField", 0.0), mesh, kept_axes,
+                               counts3, vector)
+
+    default = default_bc or bcm.ZeroGradient()
+    rows = [[default, default] for _ in range(nd)]
+    bfield = d.get("boundaryField", {})
+    for name, entry in bfield.items():
+        if name not in patch_map:
+            continue
+        ptype, sides = patch_map[name]
+        if not isinstance(entry, dict):
+            continue
+        bc = _bc_from_entry(entry, nd, kept_axes, vector)
+        for axis, side in sides:
+            rows[axis][side] = bc
+    # cyclic patches declared in blockMeshDict apply even if boundaryField
+    # names them with type cyclic
+    for name, (ptype, sides) in patch_map.items():
+        if ptype == "cyclic":
+            for axis, side in sides:
+                rows[axis][side] = bcm.Periodic()
+    return internal, bcm.FieldBCs(tuple(tuple(r) for r in rows))
+
+
+def load_initial_fields(case_dir: str, mesh: Mesh, patch_map, kept_axes,
+                        time_name: str = "0"):
+    """Read every field file in `<case>/<time_name>/` ->
+    {name: (array, FieldBCs)}."""
+    tdir = os.path.join(case_dir, time_name)
+    out = {}
+    if not os.path.isdir(tdir):
+        return out
+    counts3 = [1, 1, 1]
+    for i, ax in enumerate(kept_axes):
+        counts3[ax] = mesh.shape[i]
+    for fn in sorted(os.listdir(tdir)):
+        p = os.path.join(tdir, fn)
+        if not os.path.isfile(p) or fn.startswith("."):
+            continue
+        try:
+            out[fn] = parse_field_file(p, mesh, patch_map, kept_axes, counts3)
+        except Exception as e:
+            raise ValueError(f"failed to parse field file {p}: {e}") from e
+    return out

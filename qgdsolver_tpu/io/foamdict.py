@@ -74,7 +74,15 @@ def native_available() -> bool:
 # pure-Python fallback (same grammar)
 # ---------------------------------------------------------------------------
 
-_TOKEN_RE = re.compile(r'"(?:\\.|[^"])*"|[{}()\[\];]|[^\s{}()\[\];"]+')
+# OpenFOAM words may embed balanced, whitespace-free parentheses:
+# grad(p) / div(phi,U) / div((rho*U)) are single keyword tokens.
+_TOKEN_RE = re.compile(
+    r'"(?:\\.|[^"])*"'
+    r'|[^\s{}()\[\];"]+(?:\((?:[^()\s{}\[\];"]|\([^()\s{}\[\];"]*\))*\))+'
+    r'[^\s{}()\[\];"]*'
+    r'|[{}()\[\];]'
+    r'|[^\s{}()\[\];"]+'
+)
 
 
 def _strip_comments(text: str) -> str:
