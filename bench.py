@@ -1,15 +1,19 @@
 """Benchmark: QGDFoam supersonic-jet throughput (grid-points/s/chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 The reference publishes no machine numbers (BASELINE.md), so the baseline is
 self-defined: the round-1 composable-XLA implementation measured 2.23e9
 points/s/chip on this chip (recorded in BASELINE.md).  vs_baseline =
 value / 2.23e9 — the speedup over that recorded baseline.
 
-The bench prefers the fused whole-step Pallas kernel (ops.fused_qgd2d; the
-step is one VMEM-resident kernel, VPU-bound at ~50 B/point of HBM traffic)
-and falls back to the composable XLA step when the config is unsupported.
+Two measurements, both preferring the fused Pallas paths:
+  * primary (the headline value): 1024x512 plain jet — whole-frame
+    VMEM-resident kernel (ops.fused_qgd2d.build_fused_step);
+  * big-grid flagship ("big_*" extras): 4096x2048 shock-capturing jet with
+    varScModel5 + qgdFlux outflow — the HBM-tiled x-slab pipeline
+    (build_tiled_fused_step; the frame set exceeds VMEM).
+Falls back to the composable XLA step when a config is unsupported.
 """
 from __future__ import annotations
 
@@ -22,15 +26,11 @@ import numpy as np
 BASELINE_PPS = 2.23e9  # round-1 composable implementation (BASELINE.md)
 
 
-def main():
-    from qgdsolver_tpu import cases
+def _measure(solver, state, n_steps, repeats=3):
     from qgdsolver_tpu.solvers import common
 
-    shape = (1024, 512)
-    n_steps = 500
-    solver, state = cases.supersonic_jet(shape=shape, dtype=np.float32)
-
-    if solver.fused_supported() and jax.default_backend() == "tpu":
+    fused = solver.fused_supported() and jax.default_backend() != "cpu"
+    if fused:
         step, to_fused, _ = solver.make_fused_step()
         state = to_fused(state)
     else:
@@ -41,21 +41,43 @@ def main():
     jax.block_until_ready(state)
 
     best = float("inf")
-    for _ in range(3):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         state = run(state)
         jax.block_until_ready(state)
         best = min(best, time.perf_counter() - t0)
 
-    points = shape[0] * shape[1]
-    pps = points * n_steps / best
+    points = solver.mesh.shape[0] * solver.mesh.shape[1]
+    return points * n_steps / best, fused
 
-    print(json.dumps({
+
+def main():
+    from qgdsolver_tpu import cases
+
+    solver, state = cases.supersonic_jet(shape=(1024, 512), dtype=np.float32)
+    pps, fused = _measure(solver, state, n_steps=500)
+
+    out = {
         "metric": "qgdfoam_jet_grid_points_per_s_per_chip",
         "value": round(pps, 1),
         "unit": "points/s",
         "vs_baseline": round(pps / BASELINE_PPS, 4),
-    }))
+        "fused": fused,
+    }
+
+    if jax.default_backend() != "cpu":
+        big_solver, big_state = cases.supersonic_jet_varsc(
+            shape=(4096, 2048), dtype=np.float32)
+        big_pps, big_fused = _measure(big_solver, big_state, n_steps=60,
+                                      repeats=2)
+        out.update({
+            "big_grid": "4096x2048 varScModel5+qgdFlux",
+            "big_points_per_s": round(big_pps, 1),
+            "big_vs_baseline": round(big_pps / BASELINE_PPS, 4),
+            "big_fused": big_fused,
+        })
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

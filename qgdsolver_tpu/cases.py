@@ -6,6 +6,8 @@ their TPU-framework counterparts: each returns (solver, initial_state).
 """
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -75,6 +77,36 @@ def supersonic_jet(shape=(512, 256), dtype=np.float32, mach=2.0,
                       np.exp(-np.asarray(mesh.centers[0]))[:, None], dtype=dtype)
     U0 = jnp.stack([ux0, jnp.zeros(mesh.shape, dtype=dtype)])
     return solver, solver.init(p0=p0, T0=T0, U0=U0)
+
+
+def supersonic_jet_varsc(shape=(512, 256), dtype=np.float32, mach=2.0):
+    """The shock-capturing flagship: the supersonic jet with the
+    varScModel5 relaxed density-gradient sensor and the qgdFlux outflow
+    pressure BC — the physically-correct QGDFoam jet configuration
+    (reference jet tutorials run varSc sensors + qgdFlux patches;
+    varScModel5_8C correct(), qgdFluxFvPatchScalarField_8C updateCoeffs).
+    Fully supported by the fused Pallas kernel path."""
+    from .physics.qgdcoeffs import VarScModel5
+
+    solver, state = supersonic_jet(shape=shape, dtype=dtype, mach=mach)
+    bc_p = bcm.FieldBCs((
+        (bcm.ZeroGradient(), bcm.QGDFluxP()),
+        (bcm.FixedValue(1.0e5), bcm.FixedValue(1.0e5)),
+    ))
+    solver = dataclasses.replace(
+        solver,
+        tau_model=VarScModel5(alpha=0.5, Pr=1.0, rC=0.5,
+                              minSc=0.05, maxSc=1.0, smoothCoeff=0.1),
+        bc_p=bc_p,
+    )
+    s = state
+    state = solver.init(
+        p0=jnp.full(solver.mesh.shape, 1.0e5, dtype=dtype),
+        T0=jnp.full(solver.mesh.shape, 300.0, dtype=dtype),
+        U0=s.rhoU / s.rho[None],
+        sc0=jnp.full(solver.mesh.shape, 0.05, dtype=dtype),
+    )
+    return solver, state
 
 
 def buoyant_cavity(shape=(128, 128), dtype=np.float64, beta=-3e-3):

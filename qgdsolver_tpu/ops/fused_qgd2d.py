@@ -61,7 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import bc as bcm
 from ..ops import fvsc
 from ..physics.thermo import PerfectGasThermo, ConstTransport
-from ..physics.qgdcoeffs import ConstScPrModel1
+from ..physics.qgdcoeffs import ConstScPrModel1, VarScModel5
 from ..solvers import common
 
 LANE = 128
@@ -81,6 +81,9 @@ class FusedState(tp.NamedTuple):
     uy: jax.Array
     t: jax.Array
     dt: jax.Array
+    # varScModel5 only: the carried ScQGD sensor frame (same layout); None
+    # for constScPr configs (static pytree hole)
+    sc: tp.Any = None
 
 
 # ---------------------------------------------------------------------------
@@ -91,8 +94,20 @@ _SIMPLE_BCS = (bcm.FixedValue, bcm.ZeroGradient, bcm.FixedGradient,
                bcm.Symmetry, bcm.Extrapolated)
 
 
-def supported(solver) -> bool:
-    """True if this solver config can run on the fused kernel."""
+def fits_vmem(nx: int, ny: int) -> bool:
+    """Whole-frame VMEM residency check; larger grids use the HBM-tiled
+    slab pipeline (build_tiled_fused_step) instead."""
+    wp = max(LANE, -(-(ny + 2) // LANE) * LANE)
+    return 8 * (nx + 2) * wp * 4 <= VMEM_FIELD_BUDGET
+
+
+def supported(solver, sharded: bool = False) -> bool:
+    """True if this solver config can run on the fused kernel.
+
+    sharded=True additionally restricts to the constScPr family with no
+    qgdFlux sides and whole-frame VMEM residency (the shard_map wrapper has
+    no slab pipeline and no global sensor pre-pass).
+    """
     from ..solvers.qgd import QGDFoam
 
     if type(solver) is not QGDFoam:
@@ -107,24 +122,35 @@ def supported(solver) -> bool:
         if not np.allclose(d, d[0]):
             return False
     nx, ny = mesh.shape
-    wp = max(LANE, -(-(ny + 2) // LANE) * LANE)
-    if 8 * (nx + 2) * wp * 4 > VMEM_FIELD_BUDGET:
-        return False
     if not isinstance(solver.thermo, PerfectGasThermo):
         return False
-    if not isinstance(solver.tau_model, ConstScPrModel1):
+    tm = solver.tau_model
+    if isinstance(tm, VarScModel5):
+        if tm.const_sc_mask is not None:
+            return False
+    elif not isinstance(tm, ConstScPrModel1):
         return False
     if solver.implicit_diffusion:
         return False
     if solver.fvsc_scheme != "full":
         return False
-    if solver._flux_sides():
+    # qgdFlux p-BC: supported on axis-0 sides (the lagged dp/dn is computed
+    # in-kernel from this step's phiwStar/tau_f boundary rows)
+    if any(a != 0 for a, _ in solver._flux_sides()):
         return False
     for bcs in solver._bcs():
         for a in range(2):
             for side in (0, 1):
-                if not isinstance(bcs[a, side], _SIMPLE_BCS):
+                b = bcs[a, side]
+                if isinstance(b, bcm.QGDFluxP):
+                    continue
+                if not isinstance(b, _SIMPLE_BCS):
                     return False
+    if sharded:
+        if not fits_vmem(nx, ny):
+            return False
+        if isinstance(tm, VarScModel5) or solver._flux_sides():
+            return False
     return True
 
 
@@ -182,6 +208,11 @@ def _compile_bcs(solver, mesh, wp, nr=None, m=None):
     bc_inputs: list[np.ndarray] = []
 
     def make(bc, a, side, comp=None):
+        if isinstance(bc, bcm.QGDFluxP):
+            # lagged dp/dn computed in-kernel from phiwStar/tau_f
+            # (qgdFluxFvPatchScalarField_8C updateCoeffs); axis-0 only
+            assert a == 0, "qgdFlux supported on axis-0 sides only"
+            return _BCSpec("qgdflux")
         if isinstance(bc, bcm.ZeroGradient):
             return _BCSpec("zg")
         if isinstance(bc, bcm.Symmetry):
@@ -307,6 +338,7 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
                      _local_ny: tp.Optional[int] = None,
                      _distributed: bool = False,
                      _y_distributed: bool = False,
+                     _tiled: bool = False,
                      auto_layout: bool = True,
                      **_unused):
     """Build (step, to_fused, from_fused) for a supported QGDFoam solver.
@@ -326,11 +358,14 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
     from ..solvers.qgd import State
 
     assert supported(solver), "solver config not supported by the fused kernel"
+    if _local_nx is None and not _distributed:
+        assert fits_vmem(*solver.mesh.shape), \
+            "frame exceeds VMEM budget — use build_tiled_fused_step"
     if auto_layout and _local_nx is None and not _distributed:
         nx0, ny0 = solver.mesh.shape
         if _frame_elems(ny0, nx0) < _frame_elems(nx0, ny0):
             alt = _transposed_solver(solver)
-            if alt is not None and supported(alt):
+            if alt is not None and supported(alt) and fits_vmem(ny0, nx0):
                 stepT, to_T, from_T = build_fused_step(
                     alt, interpret=interpret, auto_layout=False)
                 return (stepT,
@@ -357,9 +392,21 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
     hfx, hfy = dx, dy                  # uniform h_face
     R, Cv, gamma = f(th.R), f(th.Cv), f(th.gamma)
     Pr_th = f(th.Pr)
-    alpha, Sc, Pr_tau = f(tm.alpha), f(tm.Sc), f(tm.Pr)
+    has_varsc = isinstance(tm, VarScModel5)
+    alpha, Pr_tau = f(tm.alpha), f(tm.Pr)
+    Sc = 0.0 if has_varsc else f(tm.Sc)
     mu_is_const0 = (isinstance(th.transport, ConstTransport)
                     and th.transport.mu0 == 0.0)
+    n_state = 5 if has_varsc else 4
+    flux_sides = solver._flux_sides()
+    qf_lo = (0, 0) in flux_sides
+    qf_hi = (0, 1) in flux_sides
+    if has_varsc or flux_sides:
+        # the x-slab tiled pipeline (build_tiled_fused_step) supports both
+        # (sc comes from the global XLA pre-pass; qgdFlux rows are edge
+        # slabs); the shard_map wrapper does not
+        assert not (_distributed and not _tiled), \
+            "sharded fused path supports constScPr + simple BCs only"
 
     specs, bc_inputs_np = _compile_bcs(solver, mesh, Wp,
                                        nr=None if _distributed else NR,
@@ -391,9 +438,10 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
         Th = refs[1][:]
         ux = refs[2][:]
         uy = refs[3][:]
-        bc_refs = refs[4:4 + n_bc]
-        outs = refs[4 + n_bc:8 + n_bc]
-        dt_out = None if _distributed else refs[8 + n_bc]
+        scf = refs[4][:] if has_varsc else None
+        bc_refs = refs[n_state:n_state + n_bc]
+        outs = refs[n_state + n_bc:n_state + n_bc + 4]
+        dt_out = None if _distributed else refs[n_state + n_bc + 4]
 
         # full-frame neighbour access: rotations only (Mosaic-legal)
         def rup(x):   # rup(x)[r] = x[r+1]
@@ -426,7 +474,12 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
         # with ZERO-GRADIENT ghosts (`calculated` patches), not primitive BCs
         # -> override their ghost layers with the interior edge value.
         aoc = alpha * rcs
-        mu_eff = ((Sc * alpha * h_cell) * ph) * rcs
+        if has_varsc:
+            # muQGD = p*Sc*tau with the per-cell sensor field (varScModel5
+            # _finish); tau_f uses alpha/interp(c), see face sections
+            mu_eff = scf * (((alpha * h_cell) * ph) * rcs)
+        else:
+            mu_eff = ((Sc * alpha * h_cell) * ph) * rcs
         if not mu_is_const0:
             mm = th.mu(None, Th)
             alphau_eff = mu_eff / Pr_tau + mm / Pr_th
@@ -467,6 +520,7 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
             return jnp.where(rowid == 0, first,
                              jnp.where(rowid == NR - 1, last, fld))
 
+        csm = zg_override(c_snd) if has_varsc else None
         aoc = zg_override(aoc)
         mu_eff = zg_override(mu_eff)
         if alphau_eff is not None:
@@ -493,7 +547,10 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
         mufx = xint(mu_eff)
         afx = (mufx * (1.0 / Pr_tau) if alphau_eff is None
                else xint(alphau_eff))
-        taufx = xint(aoc) * hfx
+        # varScModel5 interpolates c separately: tau_f = alpha/interp(c)*h_f
+        # (varScModel5_8C:204-205); model1 interpolates alpha/c as one field
+        taufx = ((alpha / xint(csm)) * hfx if has_varsc
+                 else xint(aoc) * hfx)
         urr0x = xint(ux * rux)
         urr1x = xint(ux * ruy)
         cfx = xint(c_snd)
@@ -546,7 +603,8 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
         mufy = yint(mu_eff)
         afy = (mufy * (1.0 / Pr_tau) if alphau_eff is None
                else yint(alphau_eff))
-        taufy = yint(aoc) * hfy
+        taufy = ((alpha / yint(csm)) * hfy if has_varsc
+                 else yint(aoc) * hfy)
         urr0y = yint(uy * rux)
         urr1y = yint(uy * ruy)
         cfy = yint(c_snd)
@@ -655,10 +713,22 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
             # x-ghost rows patched by 1-row stores (cheaper than row selects);
             # each ghost row is itself y-ghosted -> sequential pad semantics.
             outs[k][:] = col_ghosts(name, arr)
-            glo = bc_ghost(specs[name][0][0], arr[1:2, :], arr[2:3, :],
-                           dx, bc_refs)
-            ghi = bc_ghost(specs[name][0][1], arr[-2:-1, :], arr[-3:-2, :],
-                           dx, bc_refs)
+            if name == "p" and qf_lo:
+                # qgdFlux: dp/dn = -phiwStar/(tau_f*|Sf|); the area cancels,
+                # leaving w_star/tau_f at the boundary face row — ws0 here
+                # already carries the tau_f factor, so the lag is this step's
+                # fluxes exactly like the reference's registered-field lookup
+                # (qgdFluxFvPatchScalarField_8C updateCoeffs)
+                glo = arr[1:2, :] + (ws0[0:1, :] / taufx[0:1, :]) * dx
+            else:
+                glo = bc_ghost(specs[name][0][0], arr[1:2, :], arr[2:3, :],
+                               dx, bc_refs)
+            if name == "p" and qf_hi:
+                ghi = arr[-2:-1, :] - (
+                    ws0[NR - 2:NR - 1, :] / taufx[NR - 2:NR - 1, :]) * dx
+            else:
+                ghi = bc_ghost(specs[name][0][1], arr[-2:-1, :],
+                               arr[-3:-2, :], dx, bc_refs)
             if _distributed:
                 glo = jnp.where(is_lo, glo, arr[1:2, :])
                 ghi = jnp.where(is_hi, ghi, arr[-2:-1, :])
@@ -674,7 +744,7 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
     pcall = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 + n_bc),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_state + n_bc),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
         out_shape=[fshape] * 4
         + ([] if _distributed else [jax.ShapeDtypeStruct((8, LANE), dtype)]),
@@ -688,45 +758,107 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
 
     W = M + 2
 
+    def _lane_pad(arr):
+        # cast: composable-state inputs (pbc gradients, sc) may have been
+        # promoted to f64 by numpy mesh scalars under jax_enable_x64
+        return jnp.pad(arr.astype(dtype), ((0, 0), (0, Wp - W)), mode="edge")
+
+    def _sc_frame(sc_int):
+        # cast: the composable sensor promotes via the f64 numpy h_cell
+        # scalar under jax_enable_x64
+        return _lane_pad(jnp.pad(sc_int.astype(dtype), ((1, 1), (1, 1)),
+                                 mode="edge"))
+
     ones_flags = jnp.ones((1, 4), dtype=jnp.int32)
 
     def step(fs: FusedState) -> FusedState:
         dts = jnp.reshape(fs.dt.astype(dtype), (1, 1))
+        extra = ()
+        sc_new = None
+        if has_varsc:
+            # XLA pre-pass: the sensor (cell gradient + global fvc::smooth
+            # fixed point) shares VarScModel5.sc_update with the composable
+            # path verbatim; its frame feeds the kernel as a 5th field
+            p_int = fs.p[1:-1, 1:M + 1]
+            T_int = fs.T[1:-1, 1:M + 1]
+            rho_int = th.rho_from_p_T(p_int, T_int)
+            sc_new = _sc_frame(tm.sc_update(
+                mesh, rho_int, fs.sc[1:-1, 1:M + 1]).astype(dtype))
+            extra = (sc_new,)
         p2, T2, ux2, uy2, dt_arr = pcall(dts, ones_flags,
                                          fs.p, fs.T, fs.ux, fs.uy,
-                                         *bc_inputs)
+                                         *extra, *bc_inputs)
         dt_new = dt_arr[0, 0]
         return FusedState(p=p2, T=T2, ux=ux2, uy=uy2,
-                          t=fs.t + dt_new, dt=dt_new)
+                          t=fs.t + dt_new, dt=dt_new, sc=sc_new)
 
     # ---- conversions to/from the composable State --------------------------
-    bc_U, bc_p, bc_T = solver._bcs()
+    to_fused, from_fused = _make_state_io(solver, NR, M, Wp, dtype)
+    return step, to_fused, from_fused
+
+
+def _make_state_io(solver, NR, M, Wp, dtype):
+    """(to_fused, from_fused) between the composable QGDFoam State and the
+    ghost-padded (NR, Wp) frame layout — shared by the whole-frame and the
+    HBM-tiled builders."""
+    from ..solvers.qgd import State
     from ..ops.pad import ghost_pad
 
-    def _lane_pad(arr):
-        return jnp.pad(arr, ((0, 0), (0, Wp - W)), mode="edge")
+    mesh = solver.mesh
+    th = solver.thermo
+    tm = solver.tau_model
+    has_varsc = isinstance(tm, VarScModel5)
+    flux_sides = solver._flux_sides()
+    bc_U, bc_p, bc_T = solver._bcs()
+    W = M + 2
+    dx = float(mesh.dx[0][0])
 
-    def to_fused(s: State) -> FusedState:
+    def _lane_pad(arr):
+        # cast: composable-state inputs (pbc gradients, sc) may have been
+        # promoted to f64 by numpy mesh scalars under jax_enable_x64
+        return jnp.pad(arr.astype(dtype), ((0, 0), (0, Wp - W)), mode="edge")
+
+    def _sc_frame(sc_int):
+        return _lane_pad(jnp.pad(sc_int.astype(dtype), ((1, 1), (1, 1)),
+                                 mode="edge"))
+
+    def to_fused(s: "State") -> FusedState:
+        bc_pp = bc_p
+        for i, (a, side) in enumerate(flux_sides):
+            bc_pp = bc_pp.replace(a, side, bcm.FixedGradient(s.pbc[i]))
         U, e, T, p = solver.primitives(s)
         Upad = ghost_pad(U, bc_U, mesh, t=s.t, vector=True)
         return FusedState(
-            p=_lane_pad(ghost_pad(p, bc_p, mesh, t=s.t)),
+            p=_lane_pad(ghost_pad(p, bc_pp, mesh, t=s.t)),
             T=_lane_pad(ghost_pad(T, bc_T, mesh, t=s.t)),
             ux=_lane_pad(Upad[0]), uy=_lane_pad(Upad[1]),
             t=s.t, dt=s.dt,
+            sc=_sc_frame(s.sc) if has_varsc else None,
         )
 
-    def from_fused(fs: FusedState) -> State:
+    def from_fused(fs: FusedState) -> "State":
         p = fs.p[1:-1, 1:M + 1]
         T = fs.T[1:-1, 1:M + 1]
         U = jnp.stack([fs.ux[1:-1, 1:M + 1], fs.uy[1:-1, 1:M + 1]])
         rho = th.rho_from_p_T(p, T)
         e = th.e_from_T(T)
+        # lagged qgdFlux gradients recovered from the p ghost rows
+        # (ghost = interior + g*dx on both sides, ops.pad convention)
+        pbc = []
+        for a, side in flux_sides:
+            if side == 0:
+                g = (fs.p[0:1, 1:M + 1] - fs.p[1:2, 1:M + 1]) * (1.0 / dx)
+            else:
+                g = (fs.p[NR - 1:NR, 1:M + 1]
+                     - fs.p[NR - 2:NR - 1, 1:M + 1]) * (1.0 / dx)
+            pbc.append(g)
+        sc = (fs.sc[1:-1, 1:M + 1] if has_varsc
+              else jnp.full_like(rho, tm.Sc))
         return State(rho=rho, rhoU=rho[None] * U,
                      rhoE=rho * e + 0.5 * rho * jnp.sum(U * U, axis=0),
-                     sc=jnp.full_like(rho, tm.Sc), t=fs.t, dt=fs.dt, pbc=())
+                     sc=sc, t=fs.t, dt=fs.dt, pbc=tuple(pbc))
 
-    return step, to_fused, from_fused
+    return to_fused, from_fused
 
 # ---------------------------------------------------------------------------
 # multi-chip: shard_map over an x-axis device ring
@@ -760,7 +892,7 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
     from ..solvers.qgd import State
     from ..ops.pad import ghost_pad
 
-    assert supported(solver)
+    assert supported(solver, sharded=True)
     mesh = solver.mesh
     th = solver.thermo
     tm = solver.tau_model
@@ -946,3 +1078,169 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
                      sc=jnp.full_like(rho, tm.Sc), t=fs.t, dt=fs.dt, pbc=())
 
     return step, to_sharded, from_sharded
+
+
+# ---------------------------------------------------------------------------
+# HBM-tiled x-slab pipeline: grids beyond whole-frame VMEM residency
+# ---------------------------------------------------------------------------
+
+
+def _pick_slab(nx: int, wp: int) -> tp.Optional[int]:
+    """Largest slab row count (multiple of 8, dividing nx) whose ~8-frame
+    working set stays inside the whole-frame VMEM budget."""
+    budget_rows = (VMEM_FIELD_BUDGET // 8) // (wp * 4)
+    for slab in (512, 384, 256, 192, 128, 96, 64, 48, 32, 16, 8):
+        if slab + 2 <= budget_rows and nx % slab == 0 and slab < nx:
+            return slab
+    return None
+
+
+def tiled_supported(solver) -> bool:
+    """True if the config runs on the x-slab tiled fused pipeline."""
+    if not supported(solver):
+        return False
+    nx, ny = solver.mesh.shape
+    wp = max(LANE, -(-(ny + 2) // LANE) * LANE)
+    if _pick_slab(nx, wp) is None:
+        return False
+    # axis-1 array-valued BC profiles are not sliceable here (same
+    # restriction as the sharded builder)
+    try:
+        _compile_bcs(solver, solver.mesh, wp, nr=None, m=ny)
+    except NotImplementedError:
+        return False
+    return True
+
+
+def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
+                           slab_rows: tp.Optional[int] = None):
+    """Fused step pipelined over x-slabs of the HBM-resident frames.
+
+    The whole-frame kernel requires every field in VMEM; past ~3M cells it
+    cannot launch.  Here the ghost-padded frames stay in HBM and the step
+    loops the `_distributed` slab kernel over `nx/SLAB` windows of SLAB+2
+    rows (one halo row each side — the update stencil is 1-ring in rows):
+    XLA's fori_loop slices the window in, the Mosaic kernel runs the whole
+    physics on it in VMEM, and the SLAB interior rows are scattered into the
+    fresh frames.  Per-point HBM traffic stays O(reads+writes of the 4-5
+    fields) — far below the composable path's ~1600 B/point materialisation
+    — so throughput remains VPU-bound like the whole-frame kernel.
+
+    dt (QGDCourantNo + setDeltaT) and the varScModel5 sensor (cell gradient
+    + global fvc::smooth fixed point, VarScModel5.sc_update) are XLA
+    pre-passes over the frames — the sensor's smoothing wave must cross slab
+    boundaries, so it cannot live inside the slab kernel.
+
+    Replaces the reference's whole-mesh hot loop (QGDFoam_8C_source.html:
+    90-163) for meshes of any size; supports varScModel5 coefficients and
+    the axis-0 qgdFlux pressure BC like the whole-frame path.
+    """
+    assert supported(solver), "config not supported by the fused kernel"
+    mesh = solver.mesh
+    th = solver.thermo
+    tm = solver.tau_model
+    tc = solver.time
+    nx, M = mesh.shape
+    NR = nx + 2
+    W = M + 2
+    Wp = max(LANE, -(-W // LANE) * LANE)
+    dtype = np.dtype(mesh.dtype)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    SLAB = slab_rows if slab_rows is not None else _pick_slab(nx, Wp)
+    assert SLAB is not None and nx % SLAB == 0, (nx, SLAB)
+    n_slabs = nx // SLAB
+    has_varsc = isinstance(tm, VarScModel5)
+
+    pcall = build_fused_step(solver, interpret=interpret, _local_nx=SLAB,
+                             _local_ny=M, _distributed=True,
+                             _y_distributed=False, _tiled=True)
+    # axis-0 lane profiles are already global-width (local ny == global ny)
+    _, bc_inputs_np = _compile_bcs(solver, mesh, Wp, nr=None, m=M)
+    bc_inputs = tuple(jnp.asarray(a, dtype=dtype) for a in bc_inputs_np)
+
+    f = float
+    dx, dy = f(mesh.dx[0][0]), f(mesh.dx[1][0])
+    R, gamma = f(th.R), f(th.gamma)
+    alpha = f(tm.alpha)
+
+    def _zg_edge(fld):
+        # zero-gradient coefficient ghosts at the physical frame edge
+        # (kernel zg_override parity)
+        fld = jnp.concatenate([fld[1:2], fld[1:-1], fld[-2:-1]], axis=0)
+        return jnp.concatenate([fld[:, 1:2], fld[:, 1:-1], fld[:, -2:-1]],
+                               axis=1)
+
+    def _dt_prepass(pf, Tf, uxf, uyf, dtv):
+        """QGDCourantNo.H + setDeltaT-QGDQHD.H over the frames — the same
+        expressions as the whole-frame kernel's in-kernel block, evaluated
+        by XLA so the reduction spans every slab."""
+        Th = Tf[:, :W]
+        ux = uxf[:, :W]
+        uy = uyf[:, :W]
+        gRT = (gamma * R) * Th
+        rcs = jax.lax.rsqrt(gRT)
+        c = gRT * rcs
+        wave_x = (jnp.abs(0.5 * (ux[:-1] + ux[1:]))
+                  + 0.5 * (c[:-1] + c[1:]))[:, 1:M + 1]
+        wave_y = (jnp.abs(0.5 * (uy[:, :-1] + uy[:, 1:]))
+                  + 0.5 * (c[:, :-1] + c[:, 1:]))[1:-1, :]
+        co = jnp.maximum(jnp.max(wave_x) * dtv / dx,
+                         jnp.max(wave_y) * dtv / dy)
+        if has_varsc:
+            cz = _zg_edge(c)
+            taux = (alpha / (0.5 * (cz[:-1] + cz[1:]))) * dx
+            tauy = (alpha / (0.5 * (cz[:, :-1] + cz[:, 1:]))) * dy
+        else:
+            az = _zg_edge(alpha * rcs)
+            taux = (0.5 * (az[:-1] + az[1:])) * dx
+            tauy = (0.5 * (az[:, :-1] + az[:, 1:])) * dy
+        tau_min = jnp.minimum(jnp.min(taux[:, 1:M + 1]),
+                              jnp.min(tauy[1:-1, :]))
+        return common.set_delta_t(dtv, co, tau_min, tc)
+
+    def step(fs: FusedState) -> FusedState:
+        dt_new = _dt_prepass(fs.p, fs.T, fs.ux, fs.uy, fs.dt.astype(dtype))
+        dts = jnp.reshape(dt_new, (1, 1))
+        frames = [fs.p, fs.T, fs.ux, fs.uy]
+        sc_new = None
+        if has_varsc:
+            rho_int = th.rho_from_p_T(fs.p[1:-1, 1:M + 1],
+                                      fs.T[1:-1, 1:M + 1])
+            sc_int = tm.sc_update(mesh, rho_int,
+                                  fs.sc[1:-1, 1:M + 1]).astype(dtype)
+            sc_new = jnp.pad(jnp.pad(sc_int, ((1, 1), (1, 1)), mode="edge"),
+                             ((0, 0), (0, Wp - W)), mode="edge")
+            frames.append(sc_new)
+
+        def body(i, acc):
+            win = [jax.lax.dynamic_slice(a, (i * SLAB, 0), (SLAB + 2, Wp))
+                   for a in frames]
+            flags = jnp.concatenate([
+                (i == 0).astype(jnp.int32).reshape(1, 1),
+                (i == n_slabs - 1).astype(jnp.int32).reshape(1, 1),
+                jnp.ones((1, 2), jnp.int32)], axis=1)
+            res = pcall(dts, flags, *win, *bc_inputs)
+            out = []
+            for a, r in zip(acc, res):
+                a = jax.lax.dynamic_update_slice(a, r[1:SLAB + 1],
+                                                 (i * SLAB + 1, 0))
+                a = jax.lax.cond(
+                    i == 0,
+                    lambda z: jax.lax.dynamic_update_slice(z, r[0:1], (0, 0)),
+                    lambda z: z, a)
+                a = jax.lax.cond(
+                    i == n_slabs - 1,
+                    lambda z: jax.lax.dynamic_update_slice(
+                        z, r[SLAB + 1:SLAB + 2], (NR - 1, 0)),
+                    lambda z: z, a)
+                out.append(a)
+            return tuple(out)
+
+        outs = jax.lax.fori_loop(0, n_slabs, body,
+                                 (fs.p, fs.T, fs.ux, fs.uy))
+        return FusedState(p=outs[0], T=outs[1], ux=outs[2], uy=outs[3],
+                          t=fs.t + dt_new, dt=dt_new, sc=sc_new)
+
+    to_fused, from_fused = _make_state_io(solver, NR, M, Wp, dtype)
+    return step, to_fused, from_fused

@@ -251,10 +251,11 @@ class VarScModel5(TauModel):
     const_sc_mask: tp.Any = None   # 0/1 cell array
     const_sc_value: float = 1.0
 
-    def correct(self, mesh: Mesh, *, c, p, rho, sc_prev, **_):
-        tau = self.alpha * mesh.h_cell / c
-        c_f = _interp_zg(c, mesh)
-        tau_f = tuple(self.alpha / c_f[a] * mesh.h_face(a) for a in range(mesh.ndim))
+    def sc_update(self, mesh: Mesh, rho, sc_prev):
+        """The relaxed sensor update alone: Sc <- rC*(|grad rho|*h/rho) +
+        (1-rC)*Sc_prev, clamp/floor/cellSet/smooth.  Shared verbatim by
+        `correct()` and the fused-kernel pre-pass (ops.fused_qgd2d) so both
+        paths produce bit-identical Sc fields."""
         grad_rho = fvsc.grad_cell(rho, _zg(mesh.ndim), mesh)
         mag_grad = jnp.sqrt(jnp.sum(jnp.square(grad_rho), axis=0))
         sc = self.rC * (mag_grad * mesh.h_cell / rho) + (1.0 - self.rC) * sc_prev
@@ -265,7 +266,13 @@ class VarScModel5(TauModel):
         if self.const_sc_mask is not None:
             sc = jnp.where(jnp.asarray(self.const_sc_mask) > 0,
                            self.const_sc_value, sc)
-        sc = fvc_smooth(sc, self.smoothCoeff)
+        return fvc_smooth(sc, self.smoothCoeff)
+
+    def correct(self, mesh: Mesh, *, c, p, rho, sc_prev, **_):
+        tau = self.alpha * mesh.h_cell / c
+        c_f = _interp_zg(c, mesh)
+        tau_f = tuple(self.alpha / c_f[a] * mesh.h_face(a) for a in range(mesh.ndim))
+        sc = self.sc_update(mesh, rho, sc_prev)
         return _finish(mesh, tau, tau_f, p, sc, self.Pr)
 
 

@@ -278,14 +278,16 @@ class InterQHDFoam:
             press_frc = (reconstruct(snp_flux, mesh) - cFrc) * (
                 1.0 + da1dt * (Tau1 - Tau2)
             )[None]
+            # (Sf & T(gradU))_j = |Sf| * dU_a/dx_j = column a of the
+            # G[i, j] = dU_j/dx_i tensor (see solvers/qhd.py)
             gradU_cell = fvsc.grad_cell_vector(U, bc_U, mesh, t=t)
-            gradUT_f = fvsc.interpolate(
-                jnp.swapaxes(gradU_cell, 0, 1).reshape((nd * nd,) + mesh.shape),
+            gradU_f = fvsc.interpolate(
+                gradU_cell.reshape((nd * nd,) + mesh.shape),
                 bc_zg, mesh,
             )
             transp_flux = tuple(
                 muf[a] * area[a]
-                * gradUT_f[a].reshape((nd, nd) + mesh.face_shape(a))[:, a]
+                * gradU_f[a].reshape((nd, nd) + mesh.face_shape(a))[:, a]
                 for a in range(nd)
             )
             rhs_U = (

@@ -387,21 +387,29 @@ class QGDFoam:
 
     # -- fused TPU kernel path ---------------------------------------------
     def fused_supported(self) -> bool:
-        """True if this config can run on the fused whole-step Pallas kernel
+        """True if this config can run on a fused whole-step Pallas kernel
         (ops.fused_qgd2d): 2D uniform f32 mesh, perfect-gas thermo,
-        constScPrModel1 tau, explicit diffusion, simple static BCs."""
+        constScPrModel1-family or varScModel5 tau, explicit diffusion,
+        simple/qgdFlux BCs.  VMEM-sized grids run the whole-frame kernel;
+        larger grids the HBM-tiled x-slab pipeline."""
         from ..ops import fused_qgd2d
 
-        return fused_qgd2d.supported(self)
+        if not fused_qgd2d.supported(self):
+            return False
+        return (fused_qgd2d.fits_vmem(*self.mesh.shape)
+                or fused_qgd2d.tiled_supported(self))
 
     def make_fused_step(self, interpret=None):
         """(step, to_fused, from_fused): single-pallas-kernel step over
-        VMEM-resident fields — see ops.fused_qgd2d for the design.  `step`
-        maps FusedState -> FusedState; use to_fused/from_fused to convert
+        VMEM-resident fields, or the HBM-tiled slab pipeline when the frame
+        exceeds VMEM — see ops.fused_qgd2d for the design.  `step` maps
+        FusedState -> FusedState; use to_fused/from_fused to convert
         to/from the composable State."""
         from ..ops import fused_qgd2d
 
-        return fused_qgd2d.build_fused_step(self, interpret=interpret)
+        if fused_qgd2d.fits_vmem(*self.mesh.shape):
+            return fused_qgd2d.build_fused_step(self, interpret=interpret)
+        return fused_qgd2d.build_tiled_fused_step(self, interpret=interpret)
 
 
 def eye_vec(phiP_a, a, nd):

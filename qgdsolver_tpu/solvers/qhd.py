@@ -80,6 +80,16 @@ class QHDFoam:
     # QHDDyMFoam_8C_source.html:109-135); the grid is treated as moving with
     # the frame, so solutions are reported in mesh coordinates.
     mesh_velocity: tp.Optional[tp.Callable] = None
+    # QHDDyMFoam, DEFORMING mesh: prescribed per-axis dilation s(t) ->
+    # (ndim,) scale factors; physical face positions are x_a(t) =
+    # s_a(t)*xi_a (+ rigid offset from mesh_velocity).  The step runs on the
+    # logical grid with metric factors applied to every operator, mesh face
+    # fluxes u_m = sdot_a*xi_a + odot_a with Thomas-Lombard mixed-area
+    # weighting (discrete GCL exact: sum of mesh fluxes == (V'-V)/dt per
+    # cell), and moving-volume ddt (V/V')*old/dt — the structured-mesh
+    # re-design of the reference's arbitrary dynamicFvMesh mesh.update() +
+    # makeRelative (QHDDyMFoam_8C_source.html:44-60, 109-135).
+    mesh_scale: tp.Optional[tp.Callable] = None
     # checkMeshCourantNo analogue (controlDict option of the DyM solvers):
     # fold the mesh-flux Courant number into the dt controller so mesh
     # motion cannot outrun the grid (the reference only warns; capping is
@@ -244,18 +254,20 @@ class QHDFoam:
             phiUf = tuple(phi[a] * Uf[a] - phiu[a] * Wf[a] for a in range(nd))
             nuf = tuple(muf[a] / rhof[a] for a in range(nd))
 
-            # explicit transpose-stress: div(nu_f * Sf & interp(gradU^T))
+            # explicit transpose-stress: div(nu_f * Sf & interp(T(gradU))).
+            # (Sf & T(gradU))_j = |Sf| * dU_a/dx_j at an a-face; with the
+            # G[i, j] = dU_j/dx_i cell-tensor convention that is column a of
+            # the UN-transposed tensor: G[:, a][j] = dU_a/dx_j.
             gradU_cell = fvsc.grad_cell_vector(U, bc_Us, mesh, t=t)  # (i,j,cells)
-            gradUT = jnp.swapaxes(gradU_cell, 0, 1)  # (j,i,...) -> rows=comp
-            gradUT_f = fvsc.interpolate(
-                gradUT.reshape((nd * nd,) + mesh.shape), bc_zg, mesh, vector=False
+            gradU_f = fvsc.interpolate(
+                gradU_cell.reshape((nd * nd,) + mesh.shape), bc_zg, mesh,
+                vector=False
             )
             transp_flux = tuple(
                 nuf[a] * area[a]
-                * gradUT_f[a].reshape((nd, nd) + mesh.face_shape(a))[:, a]
+                * gradU_f[a].reshape((nd, nd) + mesh.face_shape(a))[:, a]
                 for a in range(nd)
             )
-            # (Sf & gradU^T)[j] = |Sf| * gradUT[j, a] where a = face normal
 
             grad_p_cell = fvsc.grad_cell(p_new, bc_p, mesh, t=t)
             rhs_U = (

