@@ -132,6 +132,9 @@ class QHDFoam:
                      t=jnp.asarray(t0, dtype=T0.dtype), dt=dt)
 
     def make_step(self):
+        if self.mesh_scale is not None and self.t_equation == "mules":
+            raise NotImplementedError(
+                "mules T-equation on a deforming mesh")
         mesh = self.mesh
         nd = mesh.ndim
         bc_U, bc_T, bc_p0 = self._bcs()
@@ -155,8 +158,20 @@ class QHDFoam:
             alpha = thermo.alphah(p, T)
 
             # ---- updateFields.H ------------------------------------------
+            deform = self.mesh_scale is not None
             gradUf = fvsc.grad(U, bc_Us, mesh, scheme=sch_U, t=t, vector=True)
             gradTf = fvsc.grad(T, bc_Ts, mesh, scheme=sch_T, t=t)
+            if deform:
+                # per-axis dilation: logical-grid derivatives pick up 1/s_i
+                # metric factors (x_i = s_i(t)*xi_i)
+                s_old = [jnp.asarray(v, dtype=T.dtype)
+                         for v in self.mesh_scale(t)]
+                gradUf = tuple(
+                    jnp.stack([gradUf[a][i] / s_old[i] for i in range(nd)])
+                    for a in range(nd))
+                gradTf = tuple(
+                    jnp.stack([gradTf[a][i] / s_old[i] for i in range(nd)])
+                    for a in range(nd))
             muf = fvsc.interpolate(mu, bc_zg, mesh)
             alphaf = fvsc.interpolate(alpha, bc_zg, mesh)
             rhof = fvsc.interpolate(rho, bc_zg, mesh)
@@ -189,7 +204,15 @@ class QHDFoam:
             taubyrhof = tuple(tau_f[a] / rhof[a] for a in range(nd))
 
             # ---- Courant + setDeltaT -------------------------------------
-            if self.mesh_velocity is not None:
+            if deform:
+                # physical h_face = h_log*s: fold 1/s into the velocity
+                sv = jnp.stack(s_old).reshape((nd,) + (1,) * nd)
+                um0 = (jnp.asarray(self.mesh_velocity(t)).reshape(
+                    (nd,) + (1,) * nd) if self.mesh_velocity is not None
+                    else 0.0)
+                Uf_co = tuple((Uf[a] - um0) / sv for a in range(nd))
+                co = common.courant_advective(Uf_co, dt, mesh)
+            elif self.mesh_velocity is not None:
                 um = jnp.asarray(self.mesh_velocity(t)).reshape((nd,) + (1,) * nd)
                 Uf_rel = tuple(Uf[a] - um for a in range(nd))
                 co = common.courant_advective(Uf_rel, dt, mesh)
@@ -204,6 +227,28 @@ class QHDFoam:
             else:
                 co = common.courant_advective(Uf, dt, mesh)
             dt_new = common.set_delta_t(dt, co, common.tau_f_min(tau_f), tc)
+
+            # ---- deforming-mesh metric factors (identity when static) ----
+            if deform:
+                s_new = [jnp.asarray(v, dtype=T.dtype)
+                         for v in self.mesh_scale(t + dt_new)]
+                sp_old = s_old[0]
+                sp_new = s_new[0]
+                for b in range(1, nd):
+                    sp_old = sp_old * s_old[b]
+                    sp_new = sp_new * s_new[b]
+                fA = [sp_new / s_new[a] for a in range(nd)]  # face areas
+                vr = sp_old / sp_new     # moving-volume ddt: (V/V')*old/dt
+                inv_v = 1.0 / sp_new     # physical divergence factor
+                phiu = tuple(phiu[a] * fA[a] for a in range(nd))
+                phiwo = tuple(phiwo[a] * fA[a] for a in range(nd))
+                gam_p = tuple(taubyrhof[a] / (s_new[a] * s_new[a])
+                              for a in range(nd))
+            else:
+                s_new = None
+                vr = 1.0
+                inv_v = 1.0
+                gam_p = taubyrhof
 
             # ---- QHDpEqn.H ----------------------------------------------
             # qhdFlux p BC: dp/dn = -phiwStar*rho_f/(tau_f*|Sf|); here
@@ -221,9 +266,10 @@ class QHDFoam:
                         flux_grads[(a, side)] = -sign * wn * rf / tf
             bc_p = bcm.resolve_inlet_outlet(_sub_flux_bc(bc_p0, flux_grads), U, nd)
 
-            rhs_p = fvsc.div_flux(phiu, mesh) - fvsc.div_flux(phiwo, mesh)
+            rhs_p = (fvsc.div_flux(phiu, mesh)
+                     - fvsc.div_flux(phiwo, mesh)) * inv_v
             res = linsolve.solve_helmholtz(
-                diag_coeff=0.0, gamma_faces=taubyrhof, rhs=-rhs_p, x0=p,
+                diag_coeff=0.0, gamma_faces=gam_p, rhs=-rhs_p, x0=p,
                 bcs=bc_p, mesh=mesh, t=t, tol=self.cg_tol,
                 maxiter=self.cg_maxiter, singular=singular,
             )
@@ -232,20 +278,53 @@ class QHDFoam:
                 # reference-cell fix (QHDFoam_8C:123-131), cell (0,...,0)
                 p_new = p_new + (self.p_ref_value - p_new[(0,) * nd])
 
-            # phi = phiu - phiwo + pEqn.flux()  (QHDpEqn_8H:47)
+            # phi = phiu - phiwo + pEqn.flux()  (QHDpEqn_8H:47); under
+            # deformation the laplacian face flux is sp_new*gam_p*A_log*snp
+            # — exactly the flux the CG drove to balance, so div_phys(phi)
+            # still vanishes to solver tolerance
             snp = fvsc.sn_grad(p_new, bc_p, mesh, t=t)
+            if deform:
+                tb_flux = tuple(taubyrhof[a] * fA[a] / s_new[a]
+                                for a in range(nd))
+            else:
+                tb_flux = taubyrhof
             phi = tuple(
-                phiu[a] - phiwo[a] - taubyrhof[a] * area[a] * snp[a]
+                phiu[a] - phiwo[a] - tb_flux[a] * area[a] * snp[a]
                 for a in range(nd)
             )
-            if self.mesh_velocity is not None:
+            if self.mesh_velocity is not None or deform:
                 # fvc::makeRelative(phi, U): subtract the mesh face flux
-                # (QHDDyMFoam_8C:109-135) from the convective flux
-                um = jnp.asarray(self.mesh_velocity(t))
-                phi = tuple(phi[a] - um[a] * area[a] for a in range(nd))
+                # (QHDDyMFoam_8C:109-135).  Dilation: u_m = sdot*xi + odot
+                # with Thomas-Lombard mixed areas (axis a uses new scales
+                # for b<a, old for b>a) so that sum_f u_m·A*dt == V'-V per
+                # cell EXACTLY — the discrete geometric conservation law.
+                um = (jnp.asarray(self.mesh_velocity(t))
+                      if self.mesh_velocity is not None
+                      else jnp.zeros((nd,), dtype=T.dtype))
+                phim = []
+                for a in range(nd):
+                    if deform:
+                        sdot = (s_new[a] - s_old[a]) / dt_new
+                        xi = jnp.asarray(mesh.x_faces[a], dtype=T.dtype)
+                        xi = xi.reshape(tuple(
+                            -1 if b == a else 1 for b in range(nd)))
+                        a_mesh = area[a]
+                        for b in range(nd):
+                            if b < a:
+                                a_mesh = a_mesh * s_new[b]
+                            elif b > a:
+                                a_mesh = a_mesh * s_old[b]
+                        phim.append((sdot * xi + um[a]) * a_mesh)
+                    else:
+                        phim.append(um[a] * area[a])
+                phi = tuple(phi[a] - phim[a] for a in range(nd))
 
             # ---- QHDUEqn.H ----------------------------------------------
             gradPf = fvsc.grad(p_new, bc_p, mesh, scheme=sch_p, t=t)
+            if deform:
+                gradPf = tuple(
+                    jnp.stack([gradPf[a][i] / s_new[i] for i in range(nd)])
+                    for a in range(nd))
             Wf = tuple(
                 tau_f[a] * (u_dot_gradU[a] + gradPf[a] / rhof[a] - BdFrcf[a])
                 for a in range(nd)
@@ -268,24 +347,38 @@ class QHDFoam:
                 * gradU_f[a].reshape((nd, nd) + mesh.face_shape(a))[:, a]
                 for a in range(nd)
             )
+            if deform:
+                # flux component j carries d/dx_j -> 1/s_j; A_phys = A*fA
+                transp_flux = tuple(
+                    jnp.stack([transp_flux[a][i] * (fA[a] / s_new[i])
+                               for i in range(nd)])
+                    for a in range(nd))
+                nuf_lap = tuple(nuf[a] / (s_new[a] * s_new[a])
+                                for a in range(nd))
+            else:
+                nuf_lap = nuf
 
             grad_p_cell = fvsc.grad_cell(p_new, bc_p, mesh, t=t)
+            if deform:
+                grad_p_cell = jnp.stack(
+                    [grad_p_cell[i] / s_new[i] for i in range(nd)])
             rhs_U = (
-                U / dt_new
-                - fvsc.div_flux(phiUf, mesh)
-                + fvsc.div_flux(transp_flux, mesh)
+                U * vr / dt_new
+                - fvsc.div_flux(phiUf, mesh) * inv_v
+                + fvsc.div_flux(transp_flux, mesh) * inv_v
                 - grad_p_cell / rho[None]
                 + BdFrc
             )
             if self.implicit_diffusion:
                 resU = linsolve.solve_helmholtz(
-                    diag_coeff=1.0 / dt_new, gamma_faces=nuf, rhs=rhs_U, x0=U,
-                    bcs=bc_Us, mesh=mesh, t=t, vector=True,
+                    diag_coeff=1.0 / dt_new, gamma_faces=nuf_lap, rhs=rhs_U,
+                    x0=U, bcs=bc_Us, mesh=mesh, t=t, vector=True,
                     tol=self.cg_tol, maxiter=self.cg_maxiter,
                 )
                 U_new = resU.x
             else:
-                lapU = fvsc.laplacian_explicit(nuf, U, bc_Us, mesh, t=t, vector=True)
+                lapU = fvsc.laplacian_explicit(nuf_lap, U, bc_Us, mesh, t=t,
+                                               vector=True)
                 U_new = dt_new * (rhs_U + lapU)
 
             phiTf = tuple(phi[a] * Tf[a] for a in range(nd))
@@ -317,20 +410,23 @@ class QHDFoam:
                 phiTauTReg = tuple(
                     tau_f[a] * phiu[a] * u_dot_gradT[a] for a in range(nd)
                 )
+                Hif_lap = (tuple(Hif[a] / (s_new[a] * s_new[a])
+                                 for a in range(nd)) if deform else Hif)
                 rhs_T = (
-                    T / dt_new
-                    - fvsc.div_flux(phiTf, mesh)
-                    + fvsc.div_flux(phiTauTReg, mesh)
+                    T * vr / dt_new
+                    - fvsc.div_flux(phiTf, mesh) * inv_v
+                    + fvsc.div_flux(phiTauTReg, mesh) * inv_v
                 )
                 if self.implicit_diffusion:
                     resT = linsolve.solve_helmholtz(
-                        diag_coeff=1.0 / dt_new, gamma_faces=Hif, rhs=rhs_T,
-                        x0=T, bcs=bc_Ts, mesh=mesh, t=t,
+                        diag_coeff=1.0 / dt_new, gamma_faces=Hif_lap,
+                        rhs=rhs_T, x0=T, bcs=bc_Ts, mesh=mesh, t=t,
                         tol=self.cg_tol, maxiter=self.cg_maxiter,
                     )
                     T_new = resT.x
                 else:
-                    lapT = fvsc.laplacian_explicit(Hif, T, bc_Ts, mesh, t=t)
+                    lapT = fvsc.laplacian_explicit(Hif_lap, T, bc_Ts, mesh,
+                                                   t=t)
                     T_new = dt_new * (rhs_T + lapT)
 
             return State(U=U_new, T=T_new, p=p_new, t=t + dt_new, dt=dt_new)
