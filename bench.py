@@ -52,6 +52,11 @@ def _measure(solver, state, n_steps, repeats=3):
 
 
 def main():
+    t_start = time.perf_counter()
+    try:  # 8 virtual CPU devices for the weak-scaling proxy below
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
     from qgdsolver_tpu import cases
 
     solver, state = cases.supersonic_jet(shape=(1024, 512), dtype=np.float32)
@@ -76,6 +81,26 @@ def main():
             "big_vs_baseline": round(big_pps / BASELINE_PPS, 4),
             "big_fused": big_fused,
         })
+
+    # weak-scaling proxy on the 8-virtual-CPU mesh (BASELINE.md weak-scaling
+    # row stand-in until multi-host hardware exists; absolute value reflects
+    # shared host cores — the comm/partition overhead is the signal)
+    if time.perf_counter() - t_start < 400:
+        try:
+            from qgdsolver_tpu.parallel import sharding as shd
+            from qgdsolver_tpu.parallel import distributed as dist
+
+            cpu = jax.devices("cpu")
+            if len(cpu) >= 8:
+                dmesh = shd.make_device_mesh(cpu[:8])
+                rep = dist.measure_scaling(
+                    lambda shape: cases.supersonic_jet(
+                        shape=shape, dtype=np.float32),
+                    dmesh, n_steps=20, repeats=2)
+                out["cpu8_weak_scaling_efficiency"] = round(
+                    rep["weak_scaling_efficiency"], 4)
+        except Exception:
+            pass
 
     print(json.dumps(out))
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import typing as tp
 
+import jax
 import jax.numpy as jnp
 
 from ..core.registry import register
@@ -654,3 +655,108 @@ class TDACChemistrySolver(ChemistrySolver):
                                        aux=aux)
             return self.tabulation.rates(compute, mix, Y, rho, T, p, dt)
         return self.base.rates(model, mix, Y, rho, T, p, dt, aux=aux)
+
+
+@register("chemistryTabulation", "ISATDevice")
+@dataclasses.dataclass(frozen=True)
+class DeviceISAT(ChemistryTabulation):
+    """Jit-compatible device-resident tabulation (the TPU-native ISAT).
+
+    OpenFOAM's ISAT grows a binary tree of ODE solutions on the host —
+    data-dependent control flow XLA cannot compile, which is why the host
+    `ISAT` class above bails to direct compute under tracing.  This variant
+    keeps a FIXED-CAPACITY open-addressed hash table as explicit functional
+    state (arrays in the step carry), so retrieval/insert run inside the
+    jitted step:
+
+      key   = quantized (log T, log p, Y/tol) ints, hashed to one slot
+      hit   = slot valid AND stored key == cell key  -> gather stored rates
+      miss  -> rates computed (vectorized, as always on TPU) and scattered
+               into the slots (last-writer-wins on collisions)
+
+    On SIMD hardware the ODE integration is batched, so unlike host ISAT the
+    win is not skipped cells but (a) whole-batch early exit of the masked
+    integrator while_loop when every cell hits and (b) exact step-to-step
+    reuse in quasi-steady regions.  `hits`/`lookups` counters ride in the
+    state for the reference's ISAT diagnostics (growth/retrieve stats).
+
+    Usage (functional):
+        table = DeviceISAT(...).init(n_species, n_cells_capacity)
+        (rr, q), table = tab.rates_stateful(table, compute, mix, Y, rho,
+                                            T, p, dt)
+    """
+
+    tol: float = 1e-3
+    capacity: int = 1 << 15  # slots (power of two)
+
+    def init(self, n_species: int, dtype=jnp.float32):
+        cap = self.capacity
+        return {
+            "keyhash": jnp.zeros((cap,), dtype=jnp.uint32),
+            "valid": jnp.zeros((cap,), dtype=jnp.bool_),
+            "rr": jnp.zeros((n_species, cap), dtype=dtype),
+            "q": jnp.zeros((cap,), dtype=dtype),
+            "hits": jnp.zeros((), dtype=jnp.int64
+                              if jax.config.read("jax_enable_x64")
+                              else jnp.int32),
+            "lookups": jnp.zeros((), dtype=jnp.int64
+                                 if jax.config.read("jax_enable_x64")
+                                 else jnp.int32),
+        }
+
+    def _hash(self, Y, T, p):
+        """FNV-1a over the quantized composition ints -> (hash, slot)."""
+        def quant(x, lo=1e-30):
+            return jnp.round(
+                jnp.log(jnp.maximum(x, lo)) / self.tol).astype(jnp.int32)
+
+        h = jnp.full(jnp.shape(T), 0x811C9DC5, dtype=jnp.uint32)
+
+        def mix_in(h, v):
+            h = jnp.bitwise_xor(h, v.astype(jnp.uint32))
+            return h * jnp.uint32(16777619)
+
+        h = mix_in(h, quant(T))
+        h = mix_in(h, quant(p))
+        for Yi in Y:
+            h = mix_in(h, jnp.round(Yi / self.tol).astype(jnp.int32))
+        slot = (h % jnp.uint32(self.capacity)).astype(jnp.int32)
+        return h, slot
+
+    def rates_stateful(self, table, compute, mix, Y, rho, T, p, dt):
+        """(rates, Qdot), table' — all lax ops, safe under jit/scan."""
+        shape = jnp.shape(T)
+        flat = lambda x: jnp.reshape(x, (-1,))
+        Tf, pf = flat(T), flat(p)
+        Yf = tuple(flat(Yi) for Yi in Y)
+        h, slot = self._hash(Yf, Tf, pf)
+        stored_h = table["keyhash"][slot]
+        hit = jnp.logical_and(table["valid"][slot], stored_h == h)
+
+        rr_c, q_c = compute(Y, rho, T, p, dt)
+        rr_cf = jnp.stack([flat(r) for r in rr_c])
+        q_cf = flat(q_c)
+
+        rr_tab = table["rr"][:, slot]
+        q_tab = table["q"][slot]
+        rr_out = jnp.where(hit[None, :], rr_tab, rr_cf)
+        q_out = jnp.where(hit, q_tab, q_cf)
+
+        # insert misses (scatter; last-writer-wins on slot collisions)
+        miss = jnp.logical_not(hit)
+        new_rr = table["rr"].at[:, slot].set(
+            jnp.where(miss[None, :], rr_cf, rr_tab))
+        new_q = table["q"].at[slot].set(jnp.where(miss, q_cf, q_tab))
+        new_hash = table["keyhash"].at[slot].set(
+            jnp.where(miss, h, stored_h))
+        new_valid = table["valid"].at[slot].set(True)
+        table2 = {
+            "keyhash": new_hash, "valid": new_valid,
+            "rr": new_rr, "q": new_q,
+            "hits": table["hits"] + jnp.sum(hit).astype(table["hits"].dtype),
+            "lookups": table["lookups"]
+            + jnp.asarray(Tf.shape[0], dtype=table["lookups"].dtype),
+        }
+        ns = rr_out.shape[0]
+        return (tuple(jnp.reshape(rr_out[i], shape) for i in range(ns)),
+                jnp.reshape(q_out, shape)), table2
