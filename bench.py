@@ -1,24 +1,38 @@
 """Benchmark: QGDFoam supersonic-jet throughput (grid-points/s/chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Each measurement is failure-isolated: a crash in one section records an
+"<name>_error" extra instead of destroying the others, and a partial JSON
+line is flushed after the primary measurement so even a hard process death
+later leaves a parseable artifact (the LAST printed line is always the most
+complete result).
 
 The reference publishes no machine numbers (BASELINE.md), so the baseline is
 self-defined: the round-1 composable-XLA implementation measured 2.23e9
 points/s/chip on this chip (recorded in BASELINE.md).  vs_baseline =
 value / 2.23e9 — the speedup over that recorded baseline.
 
-Two measurements, both preferring the fused Pallas paths:
+Measurements (all preferring the fused Pallas paths):
   * primary (the headline value): 1024x512 plain jet — whole-frame
     VMEM-resident kernel (ops.fused_qgd2d.build_fused_step);
   * big-grid flagship ("big_*" extras): 4096x2048 shock-capturing jet with
-    varScModel5 + qgdFlux outflow — the HBM-tiled x-slab pipeline
-    (build_tiled_fused_step; the frame set exceeds VMEM).
-Falls back to the composable XLA step when a config is unsupported.
+    varScModel5 + qgdFlux outflow — the Mosaic-pipelined x-slab grid
+    (build_tiled_fused_step; the frame set exceeds VMEM);
+  * weak-scaling proxy on the 8-virtual-CPU mesh (BASELINE.md weak-scaling
+    row stand-in until multi-host hardware exists).
+
+`python bench.py --compile-only` is the pre-snapshot smoke gate: it builds
+and runs ONE step of every fused variant (whole-frame, auto-layout
+transposed, tiled, sharded) on the real backend and reports per-variant
+pass/fail in seconds — catching VMEM-infeasible configs without a timing
+run.  Run it on the TPU after any kernel change.
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
+import traceback
 
 import jax
 import numpy as np
@@ -29,7 +43,9 @@ BASELINE_PPS = 2.23e9  # round-1 composable implementation (BASELINE.md)
 def _measure(solver, state, n_steps, repeats=3):
     from qgdsolver_tpu.solvers import common
 
-    fused = solver.fused_supported() and jax.default_backend() != "cpu"
+    # fused Pallas kernels compile for TPU only; any other backend would run
+    # them in interpret mode (catastrophically slow) — fall back to XLA there
+    fused = solver.fused_supported() and jax.default_backend() == "tpu"
     if fused:
         step, to_fused, _ = solver.make_fused_step()
         state = to_fused(state)
@@ -51,7 +67,79 @@ def _measure(solver, state, n_steps, repeats=3):
     return points * n_steps / best, fused
 
 
+def _err(e) -> str:
+    return "%s: %s" % (type(e).__name__, str(e)[:300])
+
+
+def compile_smoke():
+    """Build + run one step of every fused variant on the current backend.
+
+    Returns (all_ok, per-variant dict).  This is the gate that prevents a
+    repeat of round 2 (a bench path never executed on hardware): each
+    variant either compiles AND executes once, or records its error.
+    """
+    from qgdsolver_tpu import cases
+    from qgdsolver_tpu.ops import fused_qgd2d
+
+    report = {}
+
+    def check(name, build):
+        t0 = time.perf_counter()
+        try:
+            step, fs = build()
+            jax.block_until_ready(jax.jit(step)(fs))
+            report[name] = "ok (%.1fs)" % (time.perf_counter() - t0)
+            return True
+        except Exception as e:  # noqa: BLE001 - per-variant isolation
+            report[name] = _err(e)
+            return False
+
+    def whole(shape, varsc, auto_layout):
+        maker = cases.supersonic_jet_varsc if varsc else cases.supersonic_jet
+        solver, state = maker(shape=shape, dtype=np.float32)
+        step, to_f, _ = fused_qgd2d.build_fused_step(
+            solver, auto_layout=auto_layout)
+        return step, to_f(state)
+
+    def tiled(shape, varsc, slab=None):
+        maker = cases.supersonic_jet_varsc if varsc else cases.supersonic_jet
+        solver, state = maker(shape=shape, dtype=np.float32)
+        step, to_f, _ = fused_qgd2d.build_tiled_fused_step(
+            solver, slab_rows=slab)
+        return step, to_f(state)
+
+    def sharded():
+        from qgdsolver_tpu.parallel import sharding as shd
+
+        devs = jax.devices()
+        px = 2 if len(devs) >= 2 else 1
+        dmesh = shd.make_device_mesh(devs[:px])
+        solver, state = cases.supersonic_jet(shape=(256, 128),
+                                             dtype=np.float32)
+        step, to_s, _ = fused_qgd2d.build_sharded_fused_step(solver, dmesh)
+        return step, to_s(state)
+
+    ok = True
+    # 1024x512 untransposed is VMEM-infeasible by design (127 MB live set);
+    # the untransposed variant is smoke-tested at a square shape and the
+    # production orientation through the auto-layout build
+    ok &= check("whole_frame", lambda: whole((512, 512), False, False))
+    ok &= check("whole_frame_auto_layout",
+                lambda: whole((1024, 512), False, True))
+    ok &= check("whole_frame_varsc", lambda: whole((512, 512), True, False))
+    ok &= check("tiled_plain", lambda: tiled((4096, 2048), False))
+    ok &= check("tiled_varsc", lambda: tiled((4096, 2048), True))
+    ok &= check("sharded", sharded)
+    return ok, report
+
+
 def main():
+    if "--compile-only" in sys.argv:
+        ok, report = compile_smoke()
+        print(json.dumps({"metric": "compile_smoke", "ok": ok,
+                          "variants": report}))
+        sys.exit(0 if ok else 1)
+
     t_start = time.perf_counter()
     try:  # 8 virtual CPU devices for the weak-scaling proxy below
         jax.config.update("jax_num_cpu_devices", 8)
@@ -59,33 +147,48 @@ def main():
         pass
     from qgdsolver_tpu import cases
 
-    solver, state = cases.supersonic_jet(shape=(1024, 512), dtype=np.float32)
-    pps, fused = _measure(solver, state, n_steps=500)
-
     out = {
         "metric": "qgdfoam_jet_grid_points_per_s_per_chip",
-        "value": round(pps, 1),
+        "value": 0.0,
         "unit": "points/s",
-        "vs_baseline": round(pps / BASELINE_PPS, 4),
-        "fused": fused,
+        "vs_baseline": 0.0,
     }
 
-    if jax.default_backend() != "cpu":
-        big_solver, big_state = cases.supersonic_jet_varsc(
-            shape=(4096, 2048), dtype=np.float32)
-        big_pps, big_fused = _measure(big_solver, big_state, n_steps=60,
-                                      repeats=2)
+    # --- primary: 1024x512 plain jet, whole-frame fused kernel ------------
+    try:
+        solver, state = cases.supersonic_jet(shape=(1024, 512),
+                                             dtype=np.float32)
+        pps, fused = _measure(solver, state, n_steps=500)
         out.update({
-            "big_grid": "4096x2048 varScModel5+qgdFlux",
-            "big_points_per_s": round(big_pps, 1),
-            "big_vs_baseline": round(big_pps / BASELINE_PPS, 4),
-            "big_fused": big_fused,
+            "value": round(pps, 1),
+            "vs_baseline": round(pps / BASELINE_PPS, 4),
+            "fused": fused,
         })
+    except Exception as e:  # noqa: BLE001
+        out["primary_error"] = _err(e)
+        traceback.print_exc(file=sys.stderr)
+    print(json.dumps(out), flush=True)  # crash insurance for the sections below
 
-    # weak-scaling proxy on the 8-virtual-CPU mesh (BASELINE.md weak-scaling
-    # row stand-in until multi-host hardware exists; absolute value reflects
-    # shared host cores — the comm/partition overhead is the signal)
-    if time.perf_counter() - t_start < 400:
+    # --- big grid: 4096x2048 varScModel5 + qgdFlux, tiled pipeline --------
+    if jax.default_backend() == "tpu":
+        try:
+            big_solver, big_state = cases.supersonic_jet_varsc(
+                shape=(4096, 2048), dtype=np.float32)
+            big_pps, big_fused = _measure(big_solver, big_state, n_steps=60,
+                                          repeats=2)
+            out.update({
+                "big_grid": "4096x2048 varScModel5+qgdFlux",
+                "big_points_per_s": round(big_pps, 1),
+                "big_vs_baseline": round(big_pps / BASELINE_PPS, 4),
+                "big_fused": big_fused,
+            })
+        except Exception as e:  # noqa: BLE001
+            out["big_error"] = _err(e)
+            traceback.print_exc(file=sys.stderr)
+        print(json.dumps(out), flush=True)
+
+    # --- weak-scaling proxy (8 virtual CPU devices, bench-scale tile) -----
+    if time.perf_counter() - t_start < 500:
         try:
             from qgdsolver_tpu.parallel import sharding as shd
             from qgdsolver_tpu.parallel import distributed as dist
@@ -96,13 +199,17 @@ def main():
                 rep = dist.measure_scaling(
                     lambda shape: cases.supersonic_jet(
                         shape=shape, dtype=np.float32),
-                    dmesh, n_steps=20, repeats=2)
+                    dmesh, n_steps=10, repeats=2, base=(256, 256),
+                    shared_cores=True)
                 out["cpu8_weak_scaling_efficiency"] = round(
                     rep["weak_scaling_efficiency"], 4)
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001
+            out["weak_scaling_error"] = _err(e)
+            traceback.print_exc(file=sys.stderr)
+    else:
+        out["weak_scaling_error"] = "skipped: time budget exhausted"
 
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -65,7 +65,6 @@ from ..physics.qgdcoeffs import ConstScPrModel1, VarScModel5
 from ..solvers import common
 
 LANE = 128
-VMEM_FIELD_BUDGET = 48 * 1024 * 1024  # bytes for the 4 in + 4 out fields
 
 
 class FusedState(tp.NamedTuple):
@@ -94,11 +93,46 @@ _SIMPLE_BCS = (bcm.FixedValue, bcm.ZeroGradient, bcm.FixedGradient,
                bcm.Symmetry, bcm.Extrapolated)
 
 
-def fits_vmem(nx: int, ny: int) -> bool:
-    """Whole-frame VMEM residency check; larger grids use the HBM-tiled
-    slab pipeline (build_tiled_fused_step) instead."""
+def _n_state(solver) -> int:
+    """Carried kernel input frames: 4 primitives (+ the varScModel5 sensor)."""
+    return 5 if isinstance(solver.tau_model, VarScModel5) else 4
+
+
+# Straight-line whole-frame kernel live set, MEASURED on the bench chip (r3
+# compile smoke): the untransposed 1024x512 build OOMs requesting 126.9 MB
+# = ~48.1 sublane-padded f32[1032, 640] frames, while the transposed build
+# (~115 MB) compiles.  49 frames (+3 for the varsc variant's sensor/csm
+# extras) against a 119 MB budget keeps margin without demoting the
+# production transposed 1024x512 primary off the whole-frame path.
+WHOLE_LIVE_FRAMES = 49
+WHOLE_LIVE_FRAMES_VARSC = 52
+VMEM_WHOLE_BUDGET = 119 * 1024 * 1024
+
+
+def fits_vmem(nx: int, ny: int, n_state: int = 4) -> bool:
+    """Whole-frame kernel VMEM feasibility: peak live set = ~49 frame-sized
+    temporaries of the straight-line Mosaic program (NOT just the
+    n_state+4 in/out fields — the r2 mistake).  Infeasible grids use the
+    HBM-tiled slab pipeline (build_tiled_fused_step) instead."""
+    rows = -(-(nx + 2) // 8) * 8
     wp = max(LANE, -(-(ny + 2) // LANE) * LANE)
-    return 8 * (nx + 2) * wp * 4 <= VMEM_FIELD_BUDGET
+    live = WHOLE_LIVE_FRAMES_VARSC if n_state > 4 else WHOLE_LIVE_FRAMES
+    return live * rows * wp * 4 <= VMEM_WHOLE_BUDGET
+
+
+def whole_frame_viable(solver) -> bool:
+    """True if build_fused_step yields a whole-frame kernel for this config
+    in SOME orientation — native, or the auto-layout transpose (the
+    production 1024x512 jet fits ONLY transposed: 115 MB vs 127 MB)."""
+    nx, ny = solver.mesh.shape
+    ns = _n_state(solver)
+    if fits_vmem(nx, ny, n_state=ns):
+        return True
+    if (_frame_elems(ny, nx) < _frame_elems(nx, ny)
+            and fits_vmem(ny, nx, n_state=ns)):
+        alt = _transposed_solver(solver)
+        return alt is not None and supported(alt)
+    return False
 
 
 def supported(solver, sharded: bool = False) -> bool:
@@ -115,6 +149,8 @@ def supported(solver, sharded: bool = False) -> bool:
     mesh = solver.mesh
     if mesh.ndim != 2:
         return False
+    if getattr(mesh, "axisymmetric", False):
+        return False  # hoop sources + r-weighted metrics: composable only
     if np.dtype(mesh.dtype) != np.float32:
         return False
     for a in range(2):
@@ -147,8 +183,8 @@ def supported(solver, sharded: bool = False) -> bool:
                 if not isinstance(b, _SIMPLE_BCS):
                     return False
     if sharded:
-        if not fits_vmem(nx, ny):
-            return False
+        # per-shard VMEM feasibility is checked by build_sharded_fused_step
+        # against the LOCAL block dims (the global frame never materialises)
         if isinstance(tm, VarScModel5) or solver._flux_sides():
             return False
     return True
@@ -339,6 +375,7 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
                      _distributed: bool = False,
                      _y_distributed: bool = False,
                      _tiled: bool = False,
+                     _frame_fn: bool = False,
                      auto_layout: bool = True,
                      **_unused):
     """Build (step, to_fused, from_fused) for a supported QGDFoam solver.
@@ -354,23 +391,32 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
     (build_sharded_fused_step): the kernel then operates on a LOCAL x-slab,
     takes (is_lo, is_hi) edge flags + an externally reduced dt, and leaves
     halo-row exchange to the caller.
+
+    _frame_fn=True returns the pure per-frame physics closure instead of a
+    pallas_call (the HBM-tiled grid pipeline embeds it in its own kernel):
+    frame_fn(dtv, flags, ph, Th, ux, uy, scf, bc_vals) ->
+    ([(body, glo, ghi)] * 4 fields, dt_new).
     """
     from ..solvers.qgd import State
 
     assert supported(solver), "solver config not supported by the fused kernel"
-    if _local_nx is None and not _distributed:
-        assert fits_vmem(*solver.mesh.shape), \
-            "frame exceeds VMEM budget — use build_tiled_fused_step"
+    ns_frames = _n_state(solver)
     if auto_layout and _local_nx is None and not _distributed:
         nx0, ny0 = solver.mesh.shape
         if _frame_elems(ny0, nx0) < _frame_elems(nx0, ny0):
             alt = _transposed_solver(solver)
-            if alt is not None and supported(alt) and fits_vmem(ny0, nx0):
+            if (alt is not None and supported(alt)
+                    and fits_vmem(ny0, nx0, n_state=ns_frames)):
                 stepT, to_T, from_T = build_fused_step(
                     alt, interpret=interpret, auto_layout=False)
                 return (stepT,
                         lambda s: to_T(_transpose_state(s)),
                         lambda fs: _transpose_state(from_T(fs)))
+    if _local_nx is None and not _distributed:
+        # feasibility of THIS orientation (the auto-layout rewrite above,
+        # when taken, returned already)
+        assert fits_vmem(*solver.mesh.shape, n_state=ns_frames), \
+            "frame exceeds VMEM budget — use build_tiled_fused_step"
     mesh = solver.mesh
     th = solver.thermo
     tm = solver.tau_model
@@ -433,15 +479,21 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
             return 2.0 * v - interior
         return interior + v * d  # fixedGradient (outward-normal convention)
 
-    def kernel(dt_ref, flag_ref, *refs):
-        ph = refs[0][:]
-        Th = refs[1][:]
-        ux = refs[2][:]
-        uy = refs[3][:]
-        scf = refs[4][:] if has_varsc else None
-        bc_refs = refs[n_state:n_state + n_bc]
-        outs = refs[n_state + n_bc:n_state + n_bc + 4]
-        dt_out = None if _distributed else refs[n_state + n_bc + 4]
+    def frame_fn(dtv, flags, ph, Th, ux, uy, scf, bc_refs, emit=None):
+        """Pure per-frame physics: one explicit QGD step on a ghost-padded
+        (NR, Wp) frame set.  flags = (is_lo, is_hi, is_lo_y, is_hi_y), each a
+        Python bool or a traced scalar bool.  Returns
+        ([(body, glo, ghi)] per field p/T/ux/uy, dt_new) where `body` is the
+        full frame with lane ghosts applied (x-ghost rows stale), and
+        glo/ghi are the fresh (1, Wp) x-ghost rows.
+
+        `emit(k, body, glo, ghi)`: write-as-you-go hook — calling it per
+        field INSIDE the loop lets Mosaic retire each output frame before
+        the next field's ghosts are built, keeping the straight-line
+        program's peak VMEM live set ~4 frames lower than returning all
+        results (the difference between fitting and OOMing the 1024x512
+        whole-frame kernel).  With emit set, the returned list is empty."""
+        is_lo, is_hi, is_lo_y, is_hi_y = flags
 
         # full-frame neighbour access: rotations only (Mosaic-legal)
         def rup(x):   # rup(x)[r] = x[r+1]
@@ -489,19 +541,6 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
             # values after interpolation instead of carrying a third
             # coefficient frame through zg_override + 2 interpolations
             alphau_eff = None
-
-        if _distributed:
-            is_lo = flag_ref[0, 0] == 1
-            is_hi = flag_ref[0, 1] == 1
-            # keep y-edge selects OUT of the graph when y is not decomposed:
-            # (n, 1) meshes then stay bitwise-identical to the serial kernel
-            if _y_distributed:
-                is_lo_y = flag_ref[0, 2] == 1
-                is_hi_y = flag_ref[0, 3] == 1
-            else:
-                is_lo_y = is_hi_y = True
-        else:
-            is_lo = is_hi = is_lo_y = is_hi_y = True
 
         def zg_override(fld):
             # coefficient-field ghost handling: zero-gradient at PHYSICAL
@@ -635,14 +674,13 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
         fy_m1 = phiJm_y * uyfy + ay_area * (pfy - qi1)
         fy_E = phiJm_y * Hfy + ay_area * (qy - (qi0 * uxfy + qi1 * uyfy))
 
-        # ---- QGDCourantNo.H + setDeltaT-QGDQHD.H, fully in-kernel --------
+        # ---- QGDCourantNo.H + setDeltaT-QGDQHD.H, fully in-frame ---------
         # (QGDCourantNo_8H_source.html:44-50; setDeltaT-QGDQHD_8H:41-61)
-        # distributed mode: dt is globally reduced OUTSIDE (pmax over shards)
-        # and passed in; the in-kernel path is single-chip only
-        dtv = dt_ref[0, 0]
+        # distributed mode: dt is globally reduced OUTSIDE (pmax over shards
+        # for the shard_map wrapper, an XLA pre-pass for the tiled pipeline)
+        # and passed in; the in-frame path is whole-frame single-chip only
         if _distributed:
             dt_new = dtv
-            dt_out = None
         else:
           live_x = jnp.logical_and(rowid <= nx,
                                    jnp.logical_and(colid >= 1, colid <= M))
@@ -669,7 +707,6 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
               dt_new = jnp.minimum(fact * dtv, max_dt1)
           else:
               dt_new = dtv
-          dt_out[:] = jnp.full((8, LANE), dt_new, dtype=dtv.dtype)
 
         # ---- explicit update (QGDRhoEqn/QGDUEqn/QGDEEqn, 1/V face sums) ----
         sdt = dt_new * (1.0 / vol)
@@ -707,12 +744,14 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
             return jnp.where(colid == 0, lo,
                              jnp.where(colid == M + 1, hi, arr))
 
+        results = []
         for k, name in enumerate(("p", "T", "ux", "uy")):
             arr = fields[name]
             # y-ghost lanes for the interior rows (full-frame select), then
-            # x-ghost rows patched by 1-row stores (cheaper than row selects);
+            # x-ghost rows as separate (1, Wp) slices (the caller patches
+            # them by 1-row stores — cheaper than row selects);
             # each ghost row is itself y-ghosted -> sequential pad semantics.
-            outs[k][:] = col_ghosts(name, arr)
+            body = col_ghosts(name, arr)
             if name == "p" and qf_lo:
                 # qgdFlux: dp/dn = -phiwStar/(tau_f*|Sf|); the area cancels,
                 # leaving w_star/tau_f at the boundary face row — ws0 here
@@ -732,9 +771,51 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
             if _distributed:
                 glo = jnp.where(is_lo, glo, arr[1:2, :])
                 ghi = jnp.where(is_hi, ghi, arr[-2:-1, :])
-            outs[k][0:1, :] = col_ghosts(name, glo, rows=slice(0, 1))
-            outs[k][NR - 1:NR, :] = col_ghosts(name, ghi,
-                                               rows=slice(NR - 1, NR))
+            triple = (body,
+                      col_ghosts(name, glo, rows=slice(0, 1)),
+                      col_ghosts(name, ghi, rows=slice(NR - 1, NR)))
+            if emit is None:
+                results.append(triple)
+            else:
+                emit(k, *triple)
+        return results, dt_new
+
+    if _frame_fn:
+        return frame_fn
+
+    def kernel(dt_ref, flag_ref, *refs):
+        ph = refs[0][:]
+        Th = refs[1][:]
+        ux = refs[2][:]
+        uy = refs[3][:]
+        scf = refs[4][:] if has_varsc else None
+        bc_vals = [refs[n_state + i][:] for i in range(n_bc)]
+        outs = refs[n_state + n_bc:n_state + n_bc + 4]
+        dt_out = None if _distributed else refs[n_state + n_bc + 4]
+
+        if _distributed:
+            is_lo = flag_ref[0, 0] == 1
+            is_hi = flag_ref[0, 1] == 1
+            # keep y-edge selects OUT of the graph when y is not decomposed:
+            # (n, 1) meshes then stay bitwise-identical to the serial kernel
+            if _y_distributed:
+                is_lo_y = flag_ref[0, 2] == 1
+                is_hi_y = flag_ref[0, 3] == 1
+            else:
+                is_lo_y = is_hi_y = True
+        else:
+            is_lo = is_hi = is_lo_y = is_hi_y = True
+
+        def emit(k, body, glo, ghi):
+            outs[k][:] = body
+            outs[k][0:1, :] = glo
+            outs[k][NR - 1:NR, :] = ghi
+
+        _, dt_new = frame_fn(dt_ref[0, 0],
+                             (is_lo, is_hi, is_lo_y, is_hi_y),
+                             ph, Th, ux, uy, scf, bc_vals, emit=emit)
+        if not _distributed:
+            dt_out[:] = jnp.full((8, LANE), dt_new, dtype=dt_new.dtype)
 
     # ---- pallas_call wrapper ----------------------------------------------
     fshape = jax.ShapeDtypeStruct((NR, Wp), dtype)
@@ -904,6 +985,8 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
     assert nx % px == 0, (nx, px)
     assert ny % py == 0, (ny, py)
     nxl, nyl = nx // px, ny // py
+    assert fits_vmem(nxl, nyl), \
+        "per-shard block exceeds the whole-frame VMEM live-set budget"
     NRl = nxl + 2
     Ml = nyl
     Wl = Ml + 2
@@ -1085,12 +1168,53 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
 # ---------------------------------------------------------------------------
 
 
-def _pick_slab(nx: int, wp: int) -> tp.Optional[int]:
-    """Largest slab row count (multiple of 8, dividing nx) whose ~8-frame
-    working set stays inside the whole-frame VMEM budget."""
-    budget_rows = (VMEM_FIELD_BUDGET // 8) // (wp * 4)
+class TiledState(tp.NamedTuple):
+    """Scan carry of the HBM-tiled fused step.
+
+    p/T/ux/uy are (nx, Wp) CELL-row frames (no x-ghost rows; lane ghosts at
+    columns 0 and M+1, dead lane padding beyond).  gl/gh carry the x-ghost
+    rows separately as 4-tuples (p, T, ux, uy order) of (8, Wp) tiles — the
+    live ghost row sits at row 7 of gl (so it is the last row of an 8-row
+    HBM tile, matching the halo BlockSpec) and at row 0 of gh.  sc is the
+    (nx, Wp) varScModel5 sensor frame or None.
+    """
+
+    p: jax.Array
+    T: jax.Array
+    ux: jax.Array
+    uy: jax.Array
+    gl: tp.Tuple[jax.Array, ...]
+    gh: tp.Tuple[jax.Array, ...]
+    t: jax.Array
+    dt: jax.Array
+    sc: tp.Any = None
+
+
+# Live-set model of the straight-line slab kernel: Mosaic holds ~50
+# (SLAB+2, Wp) f32 temporaries at the peak (measured from the r2 VMEM-oom
+# dump on the bench chip), plus the pipeline's double-buffered in/out
+# blocks.  _pick_slab sizes slabs against this, not the 8-frame field
+# budget that sank round 2.
+TILED_LIVE_FRAMES = 52
+TILED_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _slab_vmem_bytes(slab: int, wp: int, n_state: int) -> int:
+    io = 2 * (n_state + 4) * slab * wp * 4        # double-buffered A-ins/outs
+    body = TILED_LIVE_FRAMES * (slab + 2) * wp * 4
+    small = (4 * n_state + 24) * 8 * wp * 4       # halo blocks + ghost tiles
+    return io + body + small
+
+
+def _pick_slab(nx: int, wp: int, n_state: int = 4) -> tp.Optional[int]:
+    """Largest slab row count (multiple of 8, dividing nx) whose PIPELINED
+    working set — kernel live temporaries + double-buffered blocks — fits
+    the VMEM budget."""
+    if nx % 8 != 0:
+        return None
     for slab in (512, 384, 256, 192, 128, 96, 64, 48, 32, 16, 8):
-        if slab + 2 <= budget_rows and nx % slab == 0 and slab < nx:
+        if (slab < nx and nx % slab == 0
+                and _slab_vmem_bytes(slab, wp, n_state) <= TILED_VMEM_BUDGET):
             return slab
     return None
 
@@ -1101,7 +1225,8 @@ def tiled_supported(solver) -> bool:
         return False
     nx, ny = solver.mesh.shape
     wp = max(LANE, -(-(ny + 2) // LANE) * LANE)
-    if _pick_slab(nx, wp) is None:
+    n_state = 5 if isinstance(solver.tau_model, VarScModel5) else 4
+    if _pick_slab(nx, wp, n_state) is None:
         return False
     # axis-1 array-valued BC profiles are not sliceable here (same
     # restriction as the sharded builder)
@@ -1114,17 +1239,21 @@ def tiled_supported(solver) -> bool:
 
 def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
                            slab_rows: tp.Optional[int] = None):
-    """Fused step pipelined over x-slabs of the HBM-resident frames.
+    """Fused step as a Mosaic-pipelined pallas_call grid over x-slabs.
 
     The whole-frame kernel requires every field in VMEM; past ~3M cells it
-    cannot launch.  Here the ghost-padded frames stay in HBM and the step
-    loops the `_distributed` slab kernel over `nx/SLAB` windows of SLAB+2
-    rows (one halo row each side — the update stencil is 1-ring in rows):
-    XLA's fori_loop slices the window in, the Mosaic kernel runs the whole
-    physics on it in VMEM, and the SLAB interior rows are scattered into the
-    fresh frames.  Per-point HBM traffic stays O(reads+writes of the 4-5
-    fields) — far below the composable path's ~1600 B/point materialisation
-    — so throughput remains VPU-bound like the whole-frame kernel.
+    cannot launch.  Here the cell-row frames stay in HBM and the step runs
+    ONE pallas_call with grid=(nx/SLAB,): program i reads, per field, its
+    (SLAB, Wp) cell-row block plus two 8-row halo blocks (the row above and
+    below the slab — the update stencil is 1-ring in rows), assembles the
+    (SLAB+2, Wp) ghost-framed window in VMEM, runs the shared frame physics
+    (`build_fused_step(_frame_fn=True)`), and writes the SLAB fresh cell
+    rows to its output block.  Mosaic double-buffers every block
+    (HBM->VMEM DMA of slab i+1 overlaps compute of slab i), so throughput
+    stays VPU-bound like the whole-frame kernel — this replaces the round-2
+    fori_loop + dynamic_slice structure that serialised the copies and
+    mis-budgeted VMEM.  Boundary slabs also refresh the carried x-ghost
+    rows (TiledState.gl/gh) as revisited (8, Wp) output tiles.
 
     dt (QGDCourantNo + setDeltaT) and the varScModel5 sensor (cell gradient
     + global fvc::smooth fixed point, VarScModel5.sc_update) are XLA
@@ -1141,106 +1270,249 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
     tm = solver.tau_model
     tc = solver.time
     nx, M = mesh.shape
-    NR = nx + 2
     W = M + 2
     Wp = max(LANE, -(-W // LANE) * LANE)
     dtype = np.dtype(mesh.dtype)
+    has_varsc = isinstance(tm, VarScModel5)
+    n_state = 5 if has_varsc else 4
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
-    SLAB = slab_rows if slab_rows is not None else _pick_slab(nx, Wp)
-    assert SLAB is not None and nx % SLAB == 0, (nx, SLAB)
+    SLAB = slab_rows if slab_rows is not None else _pick_slab(nx, Wp, n_state)
+    assert SLAB is not None and nx % SLAB == 0 and SLAB % 8 == 0, (nx, SLAB)
     n_slabs = nx // SLAB
-    has_varsc = isinstance(tm, VarScModel5)
+    sb8 = SLAB // 8
+    nb8 = nx // 8
 
-    pcall = build_fused_step(solver, interpret=interpret, _local_nx=SLAB,
-                             _local_ny=M, _distributed=True,
-                             _y_distributed=False, _tiled=True)
+    frame = build_fused_step(solver, _local_nx=SLAB, _local_ny=M,
+                             _distributed=True, _y_distributed=False,
+                             _tiled=True, _frame_fn=True)
     # axis-0 lane profiles are already global-width (local ny == global ny)
     _, bc_inputs_np = _compile_bcs(solver, mesh, Wp, nr=None, m=M)
     bc_inputs = tuple(jnp.asarray(a, dtype=dtype) for a in bc_inputs_np)
+    n_bc = len(bc_inputs)
+
+    def kernel(dt_ref, *refs):
+        i = pl.program_id(0)
+        is_lo = i == 0
+        is_hi = i == n_slabs - 1
+        A = [refs[3 * k] for k in range(n_state)]
+        B = [refs[3 * k + 1] for k in range(n_state)]
+        C = [refs[3 * k + 2] for k in range(n_state)]
+        off = 3 * n_state
+        gl = [refs[off + 2 * k] for k in range(4)]
+        gh = [refs[off + 2 * k + 1] for k in range(4)]
+        off += 8
+        bc_vals = [refs[off + k][:] for k in range(n_bc)]
+        off += n_bc
+        out_int = refs[off:off + 4]
+        out_gl = refs[off + 4:off + 8]
+        out_gh = refs[off + 8:off + 12]
+
+        def window(k, ghosted):
+            # (SLAB+2, Wp) frame: halo row above (carried ghost at the first
+            # slab), the slab's cell rows, halo row below (ghost at the last)
+            a = A[k][:]
+            top = B[k][7:8, :]
+            bot = C[k][0:1, :]
+            if ghosted:
+                top = jnp.where(is_lo, gl[k][7:8, :], top)
+                bot = jnp.where(is_hi, gh[k][0:1, :], bot)
+            else:  # sc: edge-padded ghost rows (zero-gradient sensor)
+                top = jnp.where(is_lo, a[0:1, :], top)
+                bot = jnp.where(is_hi, a[SLAB - 1:SLAB, :], bot)
+            return jnp.concatenate([top, a, bot], axis=0)
+
+        wp_, wT, wux, wuy = (window(k, True) for k in range(4))
+        wsc = window(4, False) if has_varsc else None
+
+        def emit(k, body, glo, ghi):
+            out_int[k][:] = body[1:SLAB + 1]
+
+            @pl.when(is_lo)
+            def _():
+                out_gl[k][:] = jnp.broadcast_to(glo, (8, Wp))
+
+            @pl.when(is_hi)
+            def _():
+                out_gh[k][:] = jnp.broadcast_to(ghi, (8, Wp))
+
+        frame(dt_ref[0, 0], (is_lo, is_hi, True, True),
+              wp_, wT, wux, wuy, wsc, bc_vals, emit=emit)
+
+    vm = pltpu.VMEM
+    a_spec = pl.BlockSpec((SLAB, Wp), lambda i: (i, 0), memory_space=vm)
+    b_spec = pl.BlockSpec((8, Wp),
+                          lambda i: (jnp.maximum(i * sb8 - 1, 0), 0),
+                          memory_space=vm)
+    c_spec = pl.BlockSpec((8, Wp),
+                          lambda i: (jnp.minimum((i + 1) * sb8, nb8 - 1), 0),
+                          memory_space=vm)
+    g_spec = pl.BlockSpec((8, Wp), lambda i: (0, 0), memory_space=vm)
+    bc_specs = [pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                             memory_space=vm) for arr in bc_inputs]
+    fshape = jax.ShapeDtypeStruct((nx, Wp), dtype)
+    gshape = jax.ShapeDtypeStruct((8, Wp), dtype)
+    pcall = pl.pallas_call(
+        kernel,
+        grid=(n_slabs,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [a_spec, b_spec, c_spec] * n_state
+        + [g_spec] * 8 + bc_specs,
+        out_specs=[a_spec] * 4 + [g_spec] * 8,
+        out_shape=[fshape] * 4 + [gshape] * 8,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )
 
     f = float
     dx, dy = f(mesh.dx[0][0]), f(mesh.dx[1][0])
     R, gamma = f(th.R), f(th.gamma)
     alpha = f(tm.alpha)
 
-    def _zg_edge(fld):
-        # zero-gradient coefficient ghosts at the physical frame edge
-        # (kernel zg_override parity)
-        fld = jnp.concatenate([fld[1:2], fld[1:-1], fld[-2:-1]], axis=0)
-        return jnp.concatenate([fld[:, 1:2], fld[:, 1:-1], fld[:, -2:-1]],
-                               axis=1)
-
-    def _dt_prepass(pf, Tf, uxf, uyf, dtv):
-        """QGDCourantNo.H + setDeltaT-QGDQHD.H over the frames — the same
-        expressions as the whole-frame kernel's in-kernel block, evaluated
-        by XLA so the reduction spans every slab."""
-        Th = Tf[:, :W]
-        ux = uxf[:, :W]
-        uy = uyf[:, :W]
-        gRT = (gamma * R) * Th
+    def _dt_prepass(ts: TiledState):
+        """QGDCourantNo.H + setDeltaT-QGDQHD.H over the cell-row frames —
+        the same expressions as the whole-frame kernel's in-frame block
+        (boundary faces from the carried ghost rows; coefficient fields get
+        zero-gradient ghosts), evaluated by XLA so the reduction spans every
+        slab."""
+        dtv = ts.dt.astype(dtype)
+        TI = ts.T[:, :W]
+        uxI = ts.ux[:, :W]
+        uyI = ts.uy[:, :W]
+        gRT = (gamma * R) * TI
         rcs = jax.lax.rsqrt(gRT)
         c = gRT * rcs
-        wave_x = (jnp.abs(0.5 * (ux[:-1] + ux[1:]))
-                  + 0.5 * (c[:-1] + c[1:]))[:, 1:M + 1]
-        wave_y = (jnp.abs(0.5 * (uy[:, :-1] + uy[:, 1:]))
-                  + 0.5 * (c[:, :-1] + c[:, 1:]))[1:-1, :]
-        co = jnp.maximum(jnp.max(wave_x) * dtv / dx,
-                         jnp.max(wave_y) * dtv / dy)
+
+        def snd(Trow):
+            g = (gamma * R) * Trow
+            return g * jax.lax.rsqrt(g)
+
+        # acoustic Courant: x-faces = interior row pairs + the two boundary
+        # faces against the carried ghost rows; live lanes 1..M
+        Tgl, Tgh = ts.gl[1][7:8, :W], ts.gh[1][0:1, :W]
+        ugl, ugh = ts.gl[2][7:8, :W], ts.gh[2][0:1, :W]
+        wave_in = (jnp.abs(0.5 * (uxI[:-1] + uxI[1:]))
+                   + 0.5 * (c[:-1] + c[1:]))[:, 1:M + 1]
+        wave_lo = (jnp.abs(0.5 * (ugl + uxI[0:1]))
+                   + 0.5 * (snd(Tgl) + c[0:1]))[:, 1:M + 1]
+        wave_hi = (jnp.abs(0.5 * (uxI[-1:] + ugh))
+                   + 0.5 * (c[-1:] + snd(Tgh)))[:, 1:M + 1]
+        wx = jnp.maximum(jnp.max(wave_in),
+                         jnp.maximum(jnp.max(wave_lo), jnp.max(wave_hi)))
+        # y-faces: every cell row, faces at lanes 0..M (lane ghosts live)
+        wy = jnp.max(jnp.abs(0.5 * (uyI[:, :-1] + uyI[:, 1:]))
+                     + 0.5 * (c[:, :-1] + c[:, 1:]))
+        co = jnp.maximum(wx * dtv / dx, wy * dtv / dy)
+
+        # min face tau with zero-gradient coefficient ghosts: boundary faces
+        # collapse to the edge-cell value; the division/mult by positive
+        # scalars is monotone and correctly rounded, so min(a/c_f)*h equals
+        # the kernel's per-face min exactly
         if has_varsc:
-            cz = _zg_edge(c)
-            taux = (alpha / (0.5 * (cz[:-1] + cz[1:]))) * dx
-            tauy = (alpha / (0.5 * (cz[:, :-1] + cz[:, 1:]))) * dy
+            cin = c[:, 1:M + 1]
+            cfx = jnp.maximum(jnp.max(0.5 * (cin[:-1] + cin[1:])),
+                              jnp.maximum(jnp.max(cin[0:1]),
+                                          jnp.max(cin[-1:])))
+            cfy = jnp.maximum(jnp.max(0.5 * (c[:, 1:M] + c[:, 2:M + 1])),
+                              jnp.maximum(jnp.max(c[:, 1:2]),
+                                          jnp.max(c[:, M:M + 1])))
+            tau_min = jnp.minimum((alpha / cfx) * dx, (alpha / cfy) * dy)
         else:
-            az = _zg_edge(alpha * rcs)
-            taux = (0.5 * (az[:-1] + az[1:])) * dx
-            tauy = (0.5 * (az[:, :-1] + az[:, 1:])) * dy
-        tau_min = jnp.minimum(jnp.min(taux[:, 1:M + 1]),
-                              jnp.min(tauy[1:-1, :]))
+            aoc = alpha * rcs
+            ain = aoc[:, 1:M + 1]
+            tfx = jnp.minimum(jnp.min(0.5 * (ain[:-1] + ain[1:])),
+                              jnp.minimum(jnp.min(ain[0:1]),
+                                          jnp.min(ain[-1:])))
+            tfy = jnp.minimum(jnp.min(0.5 * (aoc[:, 1:M] + aoc[:, 2:M + 1])),
+                              jnp.minimum(jnp.min(aoc[:, 1:2]),
+                                          jnp.min(aoc[:, M:M + 1])))
+            tau_min = jnp.minimum(tfx * dx, tfy * dy)
         return common.set_delta_t(dtv, co, tau_min, tc)
 
-    def step(fs: FusedState) -> FusedState:
-        dt_new = _dt_prepass(fs.p, fs.T, fs.ux, fs.uy, fs.dt.astype(dtype))
+    def step(ts: TiledState) -> TiledState:
+        dt_new = _dt_prepass(ts)
         dts = jnp.reshape(dt_new, (1, 1))
-        frames = [fs.p, fs.T, fs.ux, fs.uy]
+        frames = [ts.p, ts.T, ts.ux, ts.uy]
         sc_new = None
         if has_varsc:
-            rho_int = th.rho_from_p_T(fs.p[1:-1, 1:M + 1],
-                                      fs.T[1:-1, 1:M + 1])
+            rho_int = th.rho_from_p_T(ts.p[:, 1:M + 1], ts.T[:, 1:M + 1])
             sc_int = tm.sc_update(mesh, rho_int,
-                                  fs.sc[1:-1, 1:M + 1]).astype(dtype)
-            sc_new = jnp.pad(jnp.pad(sc_int, ((1, 1), (1, 1)), mode="edge"),
+                                  ts.sc[:, 1:M + 1]).astype(dtype)
+            sc_new = jnp.pad(jnp.pad(sc_int, ((0, 0), (1, 1)), mode="edge"),
                              ((0, 0), (0, Wp - W)), mode="edge")
             frames.append(sc_new)
+        ops = [dts]
+        for fr in frames:
+            ops += [fr, fr, fr]
+        for k in range(4):
+            ops += [ts.gl[k], ts.gh[k]]
+        ops += list(bc_inputs)
+        outs = pcall(*ops)
+        return TiledState(p=outs[0], T=outs[1], ux=outs[2], uy=outs[3],
+                          gl=tuple(outs[4:8]), gh=tuple(outs[8:12]),
+                          t=ts.t + dt_new, dt=dt_new, sc=sc_new)
 
-        def body(i, acc):
-            win = [jax.lax.dynamic_slice(a, (i * SLAB, 0), (SLAB + 2, Wp))
-                   for a in frames]
-            flags = jnp.concatenate([
-                (i == 0).astype(jnp.int32).reshape(1, 1),
-                (i == n_slabs - 1).astype(jnp.int32).reshape(1, 1),
-                jnp.ones((1, 2), jnp.int32)], axis=1)
-            res = pcall(dts, flags, *win, *bc_inputs)
-            out = []
-            for a, r in zip(acc, res):
-                a = jax.lax.dynamic_update_slice(a, r[1:SLAB + 1],
-                                                 (i * SLAB + 1, 0))
-                a = jax.lax.cond(
-                    i == 0,
-                    lambda z: jax.lax.dynamic_update_slice(z, r[0:1], (0, 0)),
-                    lambda z: z, a)
-                a = jax.lax.cond(
-                    i == n_slabs - 1,
-                    lambda z: jax.lax.dynamic_update_slice(
-                        z, r[SLAB + 1:SLAB + 2], (NR - 1, 0)),
-                    lambda z: z, a)
-                out.append(a)
-            return tuple(out)
-
-        outs = jax.lax.fori_loop(0, n_slabs, body,
-                                 (fs.p, fs.T, fs.ux, fs.uy))
-        return FusedState(p=outs[0], T=outs[1], ux=outs[2], uy=outs[3],
-                          t=fs.t + dt_new, dt=dt_new, sc=sc_new)
-
-    to_fused, from_fused = _make_state_io(solver, NR, M, Wp, dtype)
+    to_fused, from_fused = _make_tiled_state_io(solver, nx, M, Wp, dtype)
     return step, to_fused, from_fused
+
+
+def _make_tiled_state_io(solver, nx, M, Wp, dtype):
+    """(to_fused, from_fused) between the composable QGDFoam State and the
+    TiledState cell-row + ghost-tile layout."""
+    from ..solvers.qgd import State
+    from ..ops.pad import ghost_pad
+
+    mesh = solver.mesh
+    th = solver.thermo
+    tm = solver.tau_model
+    has_varsc = isinstance(tm, VarScModel5)
+    flux_sides = solver._flux_sides()
+    bc_U, bc_p, bc_T = solver._bcs()
+    W = M + 2
+    dx = float(mesh.dx[0][0])
+
+    def _lane_pad(arr):
+        return jnp.pad(arr.astype(dtype), ((0, 0), (0, Wp - W)), mode="edge")
+
+    def to_fused(s: "State") -> TiledState:
+        bc_pp = bc_p
+        for i, (a, side) in enumerate(flux_sides):
+            bc_pp = bc_pp.replace(a, side, bcm.FixedGradient(s.pbc[i]))
+        U, e, T, p = solver.primitives(s)
+        Upad = ghost_pad(U, bc_U, mesh, t=s.t, vector=True)
+        frames = (_lane_pad(ghost_pad(p, bc_pp, mesh, t=s.t)),
+                  _lane_pad(ghost_pad(T, bc_T, mesh, t=s.t)),
+                  _lane_pad(Upad[0]), _lane_pad(Upad[1]))
+        ints = tuple(fr[1:-1] for fr in frames)
+        gls = tuple(jnp.broadcast_to(fr[0:1], (8, Wp)) for fr in frames)
+        ghs = tuple(jnp.broadcast_to(fr[-1:], (8, Wp)) for fr in frames)
+        sc = None
+        if has_varsc:
+            sc = _lane_pad(jnp.pad(s.sc.astype(dtype), ((0, 0), (1, 1)),
+                                   mode="edge"))
+        return TiledState(p=ints[0], T=ints[1], ux=ints[2], uy=ints[3],
+                          gl=gls, gh=ghs, t=s.t, dt=s.dt, sc=sc)
+
+    def from_fused(ts: TiledState) -> "State":
+        p = ts.p[:, 1:M + 1]
+        T = ts.T[:, 1:M + 1]
+        U = jnp.stack([ts.ux[:, 1:M + 1], ts.uy[:, 1:M + 1]])
+        rho = th.rho_from_p_T(p, T)
+        e = th.e_from_T(T)
+        # lagged qgdFlux gradients recovered from the carried p ghost rows
+        pbc = []
+        for a, side in flux_sides:
+            if side == 0:
+                g = (ts.gl[0][7:8, 1:M + 1] - p[0:1]) * (1.0 / dx)
+            else:
+                g = (ts.gh[0][0:1, 1:M + 1] - p[-1:]) * (1.0 / dx)
+            pbc.append(g)
+        sc = (ts.sc[:, 1:M + 1] if has_varsc
+              else jnp.full_like(rho, tm.Sc))
+        return State(rho=rho, rhoU=rho[None] * U,
+                     rhoE=rho * e + 0.5 * rho * jnp.sum(U * U, axis=0),
+                     sc=sc, t=ts.t, dt=ts.dt, pbc=tuple(pbc))
+
+    return to_fused, from_fused

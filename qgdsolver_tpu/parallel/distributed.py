@@ -71,16 +71,28 @@ def host_mesh(axis_names=("X", "Y")):
 
 
 def measure_scaling(solver_factory, dmesh, n_steps: int = 50,
-                    repeats: int = 2):
-    """Weak-scaling figure: per-device throughput on `dmesh` vs 1 device.
+                    repeats: int = 2, base=(256, 256),
+                    shared_cores: bool = False):
+    """Weak-scaling figure over `dmesh`.
 
-    solver_factory(shape) -> (solver, state); the global shape is scaled
-    with the mesh so points-per-device stays fixed.  Returns a dict with
-    points/s per device for both runs and their ratio (the weak-scaling
-    efficiency; comm overhead is the gap to 1.0).
+    solver_factory(shape) -> (solver, state); the global shape is
+    base * mesh shape, so points-per-device stays fixed at `base` (256^2
+    default — bench scale, where the halo/compute ratio, not per-step
+    dispatch, sets the figure).
+
+    shared_cores=False (real chips): per-device throughput of the sharded
+    run vs a 1-device run of the `base` tile — the BASELINE.md weak-scaling
+    definition (devices are independent compute).
+
+    shared_cores=True (the 8-virtual-CPU-device proxy): the N "devices" are
+    threads of ONE host, so a 1-device tile run would use every core and
+    the per-device ratio can never exceed ~1/N.  Instead both runs solve
+    the SAME global problem — unsharded on one virtual device vs sharded
+    over the mesh — so core contention cancels and the efficiency isolates
+    exactly the partition/halo-exchange overhead (the quantity the proxy
+    exists to watch).
     """
     px, py = dmesh.devices.shape
-    base = (64, 64)
 
     def run(solver, state, step):
         r = jax.jit(lambda s: _repeat(step, s, n_steps))
@@ -95,7 +107,9 @@ def measure_scaling(solver_factory, dmesh, n_steps: int = 50,
         pts = solver.mesh.shape[0] * solver.mesh.shape[1]
         return pts * n_steps / best
 
-    solver1, state1 = solver_factory(base)
+    shape_n = (base[0] * px, base[1] * py)
+    shape_1 = shape_n if shared_cores else base
+    solver1, state1 = solver_factory(shape_1)
     # pin the 1-device reference to the mesh's platform (the bench calls
     # this with a CPU mesh while the default backend is the TPU)
     dev0 = dmesh.devices.flat[0]
@@ -103,18 +117,18 @@ def measure_scaling(solver_factory, dmesh, n_steps: int = 50,
         lambda x: jax.device_put(jax.numpy.asarray(x), dev0), state1)
     pps1 = run(solver1, state1, solver1.make_step())
 
-    shape_n = (base[0] * px, base[1] * py)
     solverN, stateN = solver_factory(shape_n)
     sstate = shd.shard_state(stateN, 2, dmesh)
     stepN = shd.sharded_step(solverN.make_step(), sstate, 2, dmesh)
     ppsN = run(solverN, sstate, stepN)
 
     n_dev = px * py
+    eff = (ppsN / pps1) if shared_cores else (ppsN / n_dev) / pps1
     return {
         "devices": n_dev,
         "points_per_s_1dev": pps1,
         "points_per_s_per_dev": ppsN / n_dev,
-        "weak_scaling_efficiency": (ppsN / n_dev) / pps1,
+        "weak_scaling_efficiency": eff,
     }
 
 

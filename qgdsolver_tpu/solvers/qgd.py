@@ -305,6 +305,28 @@ class QGDFoam:
             mom_flux = tuple(phiJmU[a] + eye_vec(phiP[a], a, nd) - phiPi[a]
                              for a in range(nd))
             rhoU_new = rhoU - dt_new * (fvsc.div_flux(mom_flux, mesh) - rhoUSu)
+            if mesh.axisymmetric:
+                # wedge hoop terms (radial momentum; u_theta = 0): pressure
+                # and Pi_theta_theta forces of the wedge side faces,
+                # (p - Pi_tt)/r per volume, with
+                #   Pi_tt = tau*(U.grad p + gamma*p*divU)
+                #         [+ mu_eff*(2 u_r/r - (2/3) divU) when explicit]
+                # and divU the conservative (cylindrical) velocity
+                # divergence.  The p/r part balances the r-weighted
+                # face-area divergence exactly, preserving uniform
+                # freestreams discretely (AxisymmetricMesh identity).
+                r_c = mesh.cell_coords(1)
+                divU_cell = fvsc.div_flux(
+                    tuple(Uf[a][a] * area[a] for a in range(nd)), mesh)
+                gradp_cell = fvsc.grad_cell(p, bc_p, mesh, t=t)
+                u_gradp_cell = sum(U[i] * gradp_cell[i] for i in range(nd))
+                gam_c = (gamma_const if gamma_const is not None
+                         else th.gamma_of(T))
+                pi_tt = coeffs.tau * (u_gradp_cell + gam_c * p * divU_cell)
+                if not self.implicit_diffusion:
+                    pi_tt = pi_tt + mu_eff * (2.0 * U[1] / r_c
+                                              - (2.0 / 3.0) * divU_cell)
+                rhoU_new = rhoU_new.at[1].add(dt_new * (p - pi_tt) / r_c)
             U_new = rhoU_new / rho_new[None]
 
             phiSigmaDotU = tuple(jnp.zeros_like(phiJm[a]) for a in range(nd))
@@ -396,18 +418,18 @@ class QGDFoam:
 
         if not fused_qgd2d.supported(self):
             return False
-        return (fused_qgd2d.fits_vmem(*self.mesh.shape)
+        return (fused_qgd2d.whole_frame_viable(self)
                 or fused_qgd2d.tiled_supported(self))
 
     def make_fused_step(self, interpret=None):
         """(step, to_fused, from_fused): single-pallas-kernel step over
         VMEM-resident fields, or the HBM-tiled slab pipeline when the frame
         exceeds VMEM — see ops.fused_qgd2d for the design.  `step` maps
-        FusedState -> FusedState; use to_fused/from_fused to convert
-        to/from the composable State."""
+        FusedState -> FusedState (TiledState on the tiled route); use
+        to_fused/from_fused to convert to/from the composable State."""
         from ..ops import fused_qgd2d
 
-        if fused_qgd2d.fits_vmem(*self.mesh.shape):
+        if fused_qgd2d.whole_frame_viable(self):
             return fused_qgd2d.build_fused_step(self, interpret=interpret)
         return fused_qgd2d.build_tiled_fused_step(self, interpret=interpret)
 
