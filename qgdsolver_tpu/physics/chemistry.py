@@ -19,6 +19,7 @@ import typing as tp
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.registry import register
 from .species import MixtureThermo, R_UNIVERSAL
@@ -669,21 +670,30 @@ class DeviceISAT(ChemistryTabulation):
     state (arrays in the step carry), so retrieval/insert run inside the
     jitted step:
 
-      key   = quantized (log T, log p, Y/tol) ints, hashed to one slot
-      hit   = slot valid AND stored key == cell key  -> gather stored rates
-      miss  -> rates computed (vectorized, as always on TPU) and scattered
-               into the slots (last-writer-wins on collisions)
+      key   = quantized (log T, log p, Y/tol) int vector, hashed to one slot
+      hit   = slot valid AND the FULL stored key equals the cell key
+              -> gather stored rates (exact verification: a 32-bit hash
+              collision can never return wrong rates)
+      miss  -> rates computed and scattered into the slots
+              (last-writer-wins on collisions)
 
     On SIMD hardware the ODE integration is batched, so unlike host ISAT the
-    win is not skipped cells but (a) whole-batch early exit of the masked
-    integrator while_loop when every cell hits and (b) exact step-to-step
-    reuse in quasi-steady regions.  `hits`/`lookups` counters ride in the
-    state for the reference's ISAT diagnostics (growth/retrieve stats).
+    win is not skipped cells but (a) the whole batched integration is
+    SKIPPED (lax.cond) on steps where every cell hits — exact step-to-step
+    reuse in quasi-steady regions — and (b) the miss mask is passed to
+    `compute` so a mask-aware integrator can early-exit.  `hits`/`lookups`
+    counters ride in the state as 2-limb uint32 pairs (overflow-safe without
+    x64) for the reference's ISAT retrieve diagnostics; read them with
+    `DeviceISAT.counter(table, "hits")`.
 
     Usage (functional):
-        table = DeviceISAT(...).init(n_species, n_cells_capacity)
+        tab = DeviceISAT(tol=1e-3, capacity=1 << 15)
+        table = tab.init(n_species, dtype=jnp.float32)
         (rr, q), table = tab.rates_stateful(table, compute, mix, Y, rho,
                                             T, p, dt)
+    where `compute(Y, rho, T, p, dt, miss=None)` returns (rr tuple, Qdot);
+    the `miss` keyword (a flat bool mask, None on the untabulated path) is
+    optional for the integrator to exploit.
     """
 
     tol: float = 1e-3
@@ -692,36 +702,49 @@ class DeviceISAT(ChemistryTabulation):
     def init(self, n_species: int, dtype=jnp.float32):
         cap = self.capacity
         return {
-            "keyhash": jnp.zeros((cap,), dtype=jnp.uint32),
+            # key rows: quantized (log T, log p, log dt, Y/tol...) — dt is
+            # part of the key because the tabulated value is the effective
+            # mean rate of the sub-integrated mapping over dt, not an
+            # instantaneous rate
+            "keys": jnp.zeros((n_species + 3, cap), dtype=jnp.int32),
             "valid": jnp.zeros((cap,), dtype=jnp.bool_),
             "rr": jnp.zeros((n_species, cap), dtype=dtype),
             "q": jnp.zeros((cap,), dtype=dtype),
-            "hits": jnp.zeros((), dtype=jnp.int64
-                              if jax.config.read("jax_enable_x64")
-                              else jnp.int32),
-            "lookups": jnp.zeros((), dtype=jnp.int64
-                                 if jax.config.read("jax_enable_x64")
-                                 else jnp.int32),
+            "hits": jnp.zeros((2,), dtype=jnp.uint32),
+            "lookups": jnp.zeros((2,), dtype=jnp.uint32),
         }
 
-    def _hash(self, Y, T, p):
-        """FNV-1a over the quantized composition ints -> (hash, slot)."""
+    @staticmethod
+    def counter(table, name: str) -> int:
+        """Decode a 2-limb uint32 counter ([lo, hi]) to a Python int."""
+        c = np.asarray(table[name], dtype=np.uint64)
+        return int(c[0] + (c[1] << np.uint64(32)))
+
+    @staticmethod
+    def _ctr_add(c, n):
+        """(2,) uint32 [lo, hi] += n with carry (overflow-safe counters)."""
+        lo = c[0] + n.astype(jnp.uint32)
+        carry = (lo < c[0]).astype(jnp.uint32)
+        return jnp.stack([lo, c[1] + carry])
+
+    def _key(self, Y, T, p, dt):
+        """Quantized key matrix (n_species+3, cells) + FNV-1a slot index."""
         def quant(x, lo=1e-30):
             return jnp.round(
                 jnp.log(jnp.maximum(x, lo)) / self.tol).astype(jnp.int32)
 
-        h = jnp.full(jnp.shape(T), 0x811C9DC5, dtype=jnp.uint32)
-
-        def mix_in(h, v):
-            h = jnp.bitwise_xor(h, v.astype(jnp.uint32))
-            return h * jnp.uint32(16777619)
-
-        h = mix_in(h, quant(T))
-        h = mix_in(h, quant(p))
+        rows = [quant(T), quant(p),
+                jnp.broadcast_to(quant(jnp.asarray(dt, dtype=T.dtype)),
+                                 jnp.shape(T))]
         for Yi in Y:
-            h = mix_in(h, jnp.round(Yi / self.tol).astype(jnp.int32))
+            rows.append(jnp.round(Yi / self.tol).astype(jnp.int32))
+        key = jnp.stack(rows)
+
+        h = jnp.full(jnp.shape(T), 0x811C9DC5, dtype=jnp.uint32)
+        for v in rows:
+            h = jnp.bitwise_xor(h, v.astype(jnp.uint32)) * jnp.uint32(16777619)
         slot = (h % jnp.uint32(self.capacity)).astype(jnp.int32)
-        return h, slot
+        return key, slot
 
     def rates_stateful(self, table, compute, mix, Y, rho, T, p, dt):
         """(rates, Qdot), table' — all lax ops, safe under jit/scan."""
@@ -729,13 +752,30 @@ class DeviceISAT(ChemistryTabulation):
         flat = lambda x: jnp.reshape(x, (-1,))
         Tf, pf = flat(T), flat(p)
         Yf = tuple(flat(Yi) for Yi in Y)
-        h, slot = self._hash(Yf, Tf, pf)
-        stored_h = table["keyhash"][slot]
-        hit = jnp.logical_and(table["valid"][slot], stored_h == h)
+        key, slot = self._key(Yf, Tf, pf, dt)
+        stored_key = table["keys"][:, slot]
+        hit = jnp.logical_and(table["valid"][slot],
+                              jnp.all(stored_key == key, axis=0))
+        miss = jnp.logical_not(hit)
 
-        rr_c, q_c = compute(Y, rho, T, p, dt)
-        rr_cf = jnp.stack([flat(r) for r in rr_c])
-        q_cf = flat(q_c)
+        def _compute(_):
+            try:
+                rr_c, q_c = compute(Y, rho, T, p, dt,
+                                    miss=jnp.reshape(miss, shape))
+            except TypeError:  # integrator without mask support
+                rr_c, q_c = compute(Y, rho, T, p, dt)
+            return (jnp.stack([flat(r) for r in rr_c]).astype(
+                        table["rr"].dtype),
+                    flat(q_c).astype(table["q"].dtype))
+
+        def _skip(_):
+            # every cell hit: the batched integration is skipped entirely
+            return (jnp.zeros((mix.n_species, Tf.shape[0]),
+                              dtype=table["rr"].dtype),
+                    jnp.zeros((Tf.shape[0],), dtype=table["q"].dtype))
+
+        rr_cf, q_cf = jax.lax.cond(jnp.any(miss), _compute, _skip,
+                                   operand=None)
 
         rr_tab = table["rr"][:, slot]
         q_tab = table["q"][slot]
@@ -743,19 +783,18 @@ class DeviceISAT(ChemistryTabulation):
         q_out = jnp.where(hit, q_tab, q_cf)
 
         # insert misses (scatter; last-writer-wins on slot collisions)
-        miss = jnp.logical_not(hit)
         new_rr = table["rr"].at[:, slot].set(
             jnp.where(miss[None, :], rr_cf, rr_tab))
         new_q = table["q"].at[slot].set(jnp.where(miss, q_cf, q_tab))
-        new_hash = table["keyhash"].at[slot].set(
-            jnp.where(miss, h, stored_h))
+        new_keys = table["keys"].at[:, slot].set(
+            jnp.where(miss[None, :], key, stored_key))
         new_valid = table["valid"].at[slot].set(True)
         table2 = {
-            "keyhash": new_hash, "valid": new_valid,
+            "keys": new_keys, "valid": new_valid,
             "rr": new_rr, "q": new_q,
-            "hits": table["hits"] + jnp.sum(hit).astype(table["hits"].dtype),
-            "lookups": table["lookups"]
-            + jnp.asarray(Tf.shape[0], dtype=table["lookups"].dtype),
+            "hits": self._ctr_add(table["hits"], jnp.sum(hit)),
+            "lookups": self._ctr_add(table["lookups"],
+                                     jnp.asarray(Tf.shape[0])),
         }
         ns = rr_out.shape[0]
         return (tuple(jnp.reshape(rr_out[i], shape) for i in range(ns)),

@@ -47,6 +47,9 @@ class State(tp.NamedTuple):
     sc: jax.Array
     t: jax.Array
     dt: jax.Array
+    # DeviceISAT table dict when tabulation is configured (static None hole
+    # otherwise) — rides in the scan carry so retrieval works under jit
+    tab: tp.Any = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +60,12 @@ class ReactingQGDFoam:
     # chemistry integrator for the stiff source (makeChemistrySolversQGD
     # equivalents: none / EulerImplicit / ode — physics.chemistry)
     chemistry_solver: tp.Any = None
+    # device-resident rate tabulation (physics.chemistry.DeviceISAT): the
+    # table rides in State.tab so retrieval/insert run inside the jitted
+    # step — the runtime-selectable TDAC tabulation of the reference
+    # (BasicChemistryModelsQGD_8C_source.html:48-60).  A TDAC
+    # chemistry_solver carrying a DeviceISAT engages it automatically.
+    tabulation: tp.Any = None
     tau_model: TauModel = ConstScPrModel1()
     bc_U: tp.Optional[bcm.FieldBCs] = None
     bc_p: tp.Optional[bcm.FieldBCs] = None
@@ -75,6 +84,21 @@ class ReactingQGDFoam:
         return (self.bc_U or zg, self.bc_p or zg, self.bc_T or zg,
                 self.bc_Y or zg)
 
+    def _tabulation(self):
+        """(DeviceISAT or None, chemistry solver to use for misses): a
+        directly-configured `tabulation`, or one owned by a TDAC
+        chemistry_solver (whose own tabulation hook is then bypassed so the
+        stateful device table does the caching)."""
+        from ..physics.chemistry import DeviceISAT, TDACChemistrySolver
+
+        solver = self.chemistry_solver
+        tabu = self.tabulation
+        if tabu is None and isinstance(solver, TDACChemistrySolver) and \
+                isinstance(solver.tabulation, DeviceISAT):
+            tabu = solver.tabulation
+            solver = dataclasses.replace(solver, tabulation=None)
+        return tabu, solver
+
     def init(self, p0, T0, U0, Y0, t0=0.0) -> State:
         mix = self.mixture
         p0, T0, U0, Y0 = map(jnp.asarray, (p0, T0, U0, Y0))
@@ -83,9 +107,12 @@ class ReactingQGDFoam:
         rhoU = rho[None] * U0
         rhoE = rho * e + 0.5 * rho * jnp.sum(U0 * U0, axis=0)
         dt = jnp.asarray(self.time.dt0, dtype=rho.dtype)
+        tabu, _ = self._tabulation()
+        tab = (tabu.init(mix.n_species, dtype=rho.dtype)
+               if tabu is not None else None)
         return State(rho=rho, rhoU=rhoU, rhoE=rhoE, Y=Y0, T=T0,
                      sc=jnp.zeros_like(rho),
-                     t=jnp.asarray(t0, dtype=rho.dtype), dt=dt)
+                     t=jnp.asarray(t0, dtype=rho.dtype), dt=dt, tab=tab)
 
     def primitives(self, s: State):
         mix = self.mixture
@@ -117,8 +144,11 @@ class ReactingQGDFoam:
         bc_zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
         area = tuple(mesh.face_area(a) for a in range(nd))
 
+        tabu, chem_solver = self._tabulation()
+
         def step(s: State) -> State:
-            rho, rhoU, rhoE, Y, T_guess, sc_prev, t, dt = s
+            rho, rhoU, rhoE, Y = s.rho, s.rhoU, s.rhoE, s.Y
+            sc_prev, t, dt = s.sc, s.t, s.dt
             U, e, T, p = self.primitives(s)
             # resolve inletOutlet markers against the current flow direction
             bc_Us = bcm.resolve_inlet_outlet(bc_U, U, nd)
@@ -267,13 +297,21 @@ class ReactingQGDFoam:
                     aux["gradY"] = tuple(
                         fvsc.grad_cell(Y[i], _bc_species(bc_Ys, i), mesh, t=t)
                         for i in range(ns))
-            if self.chemistry_solver is not None:
-                RR, Qdot = self.chemistry_solver.rates(
-                    self.combustion, mix, Y, rho, T, p, dt_new, aux=aux)
+            from ..physics.chemistry import _call as _comb_call
+
+            def _rates(Yc, rhoc, Tc, pc, dtc, miss=None):
+                if chem_solver is not None:
+                    return chem_solver.rates(self.combustion, mix, Yc, rhoc,
+                                             Tc, pc, dtc, aux=aux)
+                return _comb_call(self.combustion, mix, Yc, rhoc, Tc, pc,
+                                  dtc, aux=aux)
+
+            if tabu is not None:
+                (RR, Qdot), tab_new = tabu.rates_stateful(
+                    s.tab, _rates, mix, tuple(Y), rho, T, p, dt_new)
             else:
-                from ..physics.chemistry import _call as _comb_call
-                RR, Qdot = _comb_call(self.combustion, mix, Y, rho, T, p,
-                                      dt_new, aux=aux)
+                RR, Qdot = _rates(tuple(Y), rho, T, p, dt_new)
+                tab_new = s.tab
             Y_new = [None] * ns
             Yt = 0.0
             for i in range(ns):
@@ -401,7 +439,8 @@ class ReactingQGDFoam:
             T_new = mix.T_from_e(Y_new, e_new, T)
 
             return State(rho=rho_new, rhoU=rhoU_new, rhoE=rhoE_new, Y=Y_new,
-                         T=T_new, sc=coeffs.sc, t=t + dt_new, dt=dt_new)
+                         T=T_new, sc=coeffs.sc, t=t + dt_new, dt=dt_new,
+                         tab=tab_new)
 
         return step
 

@@ -294,11 +294,44 @@ def test_device_isat_engages_under_jit():
         return tab.rates_stateful(table, compute, _Mix(), Y, rho, T, p, 1e-6)
 
     (rr1, q1), table = step(table)
-    assert int(table["lookups"]) == 3
-    assert int(table["hits"]) == 0
+    assert DeviceISAT.counter(table, "lookups") == 3
+    assert DeviceISAT.counter(table, "hits") == 0
     (rr2, q2), table = step(table)
-    assert int(table["lookups"]) == 6
-    assert int(table["hits"]) == 3  # all cells retrieved on the 2nd pass
+    assert DeviceISAT.counter(table, "lookups") == 6
+    assert DeviceISAT.counter(table, "hits") == 3  # all retrieved 2nd pass
     np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
     for a, b in zip(rr1, rr2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_isat_counters_and_false_hit_rejection():
+    """The 2-limb counters carry past 2^32, and a hash-colliding but
+    different composition must NOT retrieve (full stored-key verification —
+    advisor r2 medium fix)."""
+    from qgdsolver_tpu.physics.chemistry import DeviceISAT
+
+    c = jnp.asarray([0xFFFFFFFF, 0], dtype=jnp.uint32)
+    c2 = DeviceISAT._ctr_add(c, jnp.asarray(1))
+    assert np.asarray(c2).tolist() == [0, 1]
+    assert DeviceISAT.counter({"x": c2}, "x") == 1 << 32
+
+    class _Mix:
+        n_species = 1
+
+    def compute(Y, rho, T, p, dt, miss=None):
+        return (0.5 * Y[0],), 2.0 * T
+
+    tab = DeviceISAT(tol=1e-3, capacity=1)  # every key maps to slot 0
+    table = tab.init(1, dtype=jnp.float64)
+    T1, p1 = jnp.asarray([1000.0]), jnp.asarray([1e5])
+    (rr1, q1), table = tab.rates_stateful(
+        table, compute, _Mix(), (jnp.asarray([0.2]),), jnp.ones(1),
+        T1, p1, 1e-6)
+    # same slot, DIFFERENT composition: must recompute, not retrieve
+    T2 = jnp.asarray([1300.0])
+    (rr2, q2), table = tab.rates_stateful(
+        table, compute, _Mix(), (jnp.asarray([0.4]),), jnp.ones(1),
+        T2, p1, 1e-6)
+    assert DeviceISAT.counter(table, "hits") == 0
+    np.testing.assert_allclose(np.asarray(q2), 2.0 * 1300.0)
+    np.testing.assert_allclose(np.asarray(rr2[0]), 0.2)
