@@ -211,3 +211,61 @@ class Mesh:
     def face_coords(self, axis: int):
         """Face coordinates along axis (for axis-normal faces), broadcastable."""
         return self.bcast(self.x_faces[axis], axis)
+
+
+# `Mesh.axisymmetric` distinguishes planar meshes from the wedge-ingested
+# axisymmetric specialisation below without isinstance checks at use sites.
+Mesh.axisymmetric = False
+
+
+@dataclasses.dataclass(frozen=True)
+class AxisymmetricMesh(Mesh):
+    """2D axisymmetric (x, r) mesh — the structured counterpart of an
+    OpenFOAM wedge mesh (one-cell sector swept about the x axis).
+
+    The reference runs wedge cases through OpenFOAM's mesh geometry: wedge
+    side-face areas/volumes carry the radius weighting and the rotated
+    patch fields supply the hoop coupling (fvsc_8C_source.html:60-82 only
+    guards the GaussVolPoint scheme against wedges — other schemes run
+    them).  Here the same physics enters through r-weighted metrics, all
+    per unit swept angle (the 1-radian sector):
+
+      V       = dx * dr * r_c
+      |S_x|   = dr * r_c          (axial faces)
+      |S_r|   = dx * r_f          (radial faces; zero on the axis r=0)
+
+    so conservative face-flux divergence reproduces the cylindrical
+    (1/r) d(r .)/dr operator exactly, and uniform-pressure freestreams are
+    preserved discretely against the p/r hoop source:
+    (|S_r|_hi - |S_r|_lo)/V = 1/r_c holds to rounding.
+
+    Axis 0 is the symmetry axis coordinate x; axis 1 is the radius r >= 0.
+    Solvers add the radial hoop sources (p - Pi_theta_theta)/r; stencil
+    operators (coordinate derivatives) are unchanged.
+    """
+
+    def __post_init__(self):
+        super().__post_init__()
+        assert self.ndim == 2, "axisymmetric meshes are 2D (x, r)"
+        assert self.x_faces[1][0] >= -1e-12, "radius must be non-negative"
+
+    axisymmetric = True
+
+    @cached_property
+    def r_cell(self) -> np.ndarray:
+        """Cell-center radii, shape (n_r,)."""
+        return self.centers[1]
+
+    @cached_property
+    def cell_volume(self):
+        v = _reshape_axis(self.dx[0], 0, 2) * _reshape_axis(self.dx[1], 1, 2)
+        return (v * _reshape_axis(self.r_cell, 1, 2)).astype(self.dtype)
+
+    def face_area(self, axis: int):
+        if axis == 0:
+            a_ = (_reshape_axis(self.dx[1], 1, 2)
+                  * _reshape_axis(self.r_cell, 1, 2))
+        else:
+            a_ = (_reshape_axis(self.dx[0], 0, 2)
+                  * _reshape_axis(self.x_faces[1], 1, 2))
+        return a_.astype(self.dtype)

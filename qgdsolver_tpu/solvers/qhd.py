@@ -205,13 +205,40 @@ class QHDFoam:
 
             # ---- Courant + setDeltaT -------------------------------------
             if deform:
-                # physical h_face = h_log*s: fold 1/s into the velocity
+                # physical h_face = h_log*s: fold 1/s into the velocity.
+                # The mesh face speed is the FULL u_m = sdot_a*xi_a + um0_a
+                # the mesh fluxes use below — fast dilation must limit dt
+                # like rigid motion does (advisor r2 fix; only the normal
+                # component enters the advective Courant)
                 sv = jnp.stack(s_old).reshape((nd,) + (1,) * nd)
                 um0 = (jnp.asarray(self.mesh_velocity(t)).reshape(
                     (nd,) + (1,) * nd) if self.mesh_velocity is not None
                     else 0.0)
-                Uf_co = tuple((Uf[a] - um0) / sv for a in range(nd))
-                co = common.courant_advective(Uf_co, dt, mesh)
+                s_fwd = [jnp.asarray(v, dtype=T.dtype)
+                         for v in self.mesh_scale(t + dt)]
+                mesh_co = jnp.zeros((), dtype=T.dtype)
+                Uf_co = []
+                for a in range(nd):
+                    sdot_a = (s_fwd[a] - s_old[a]) / dt
+                    xi = jnp.asarray(mesh.x_faces[a], dtype=T.dtype).reshape(
+                        tuple(-1 if b == a else 1 for b in range(nd)))
+                    dil = jnp.broadcast_to(sdot_a * xi,
+                                           Uf[a].shape[1:])[None]
+                    dil = jnp.concatenate(
+                        [dil if i == a else jnp.zeros_like(dil)
+                         for i in range(nd)], axis=0)
+                    Uf_co.append((Uf[a] - um0 - dil) / sv)
+                    h_phys = (jnp.min(jnp.asarray(mesh.h_face(a),
+                                                  dtype=T.dtype))
+                              * s_old[a])
+                    um0_a = (jnp.asarray(self.mesh_velocity(t))[a]
+                             if self.mesh_velocity is not None else 0.0)
+                    mesh_co = jnp.maximum(
+                        mesh_co,
+                        jnp.max(jnp.abs(sdot_a * xi + um0_a)) * dt / h_phys)
+                co = common.courant_advective(tuple(Uf_co), dt, mesh)
+                if self.check_mesh_courant:
+                    co = jnp.maximum(co, mesh_co)
             elif self.mesh_velocity is not None:
                 um = jnp.asarray(self.mesh_velocity(t)).reshape((nd,) + (1,) * nd)
                 Uf_rel = tuple(Uf[a] - um for a in range(nd))
@@ -369,6 +396,12 @@ class QHDFoam:
                 - grad_p_cell / rho[None]
                 + BdFrc
             )
+            if mesh.axisymmetric:
+                # cylindrical vector laplacian: the r-weighted face metrics
+                # supply (1/r)d(r d()/dr); the remaining hoop term of
+                # (lap U)_r is -u_r/r^2 (wedge-mesh counterpart)
+                r_c = mesh.cell_coords(1)
+                rhs_U = rhs_U.at[1].add(-(mu / rho) * U[1] / (r_c * r_c))
             if self.implicit_diffusion:
                 resU = linsolve.solve_helmholtz(
                     diag_coeff=1.0 / dt_new, gamma_faces=nuf_lap, rhs=rhs_U,

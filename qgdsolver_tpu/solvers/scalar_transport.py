@@ -73,10 +73,15 @@ class ScalarTransportQHD:
             rho = thermo.rho(None, T)
             alpha = thermo.alphah(None, T)
 
-            # updateFields.H: gradTf, alphaf, rhof, Tf, Hif
+            # updateFields.H: gradTf, alphaf, rhof, Tf, Hif.  Coefficient
+            # fields interpolate with zero-gradient (`calculated`) ghosts —
+            # homogeneous FixedValue ghosts would zero the boundary
+            # diffusivity and decouple fixed-T walls entirely (bug caught by
+            # the axisymmetric annulus-conduction validation).
+            bc_zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
             gradTf = fvsc.grad(T, bc_T, mesh, t=t)
-            alphaf = fvsc.interpolate(alpha, bc_T.map(bcm.homogeneous), mesh)
-            rhof = fvsc.interpolate(rho, bc_T.map(bcm.homogeneous), mesh)
+            alphaf = fvsc.interpolate(alpha, bc_zg, mesh)
+            rhof = fvsc.interpolate(rho, bc_zg, mesh)
             Tf = fvsc.interpolate(T, bc_T, mesh, t=t)
             Uf = fvsc.interpolate(U, bc_U, mesh, t=t, vector=True)
             Hif = tuple(alphaf[a] / rhof[a] for a in range(nd))
