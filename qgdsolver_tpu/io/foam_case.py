@@ -171,7 +171,16 @@ def build_case(case_dir: str):
     control = cfg.get("controlDict", {})
     app = str(control.get("application", "QGDFoam"))
     mesh, patch_map, kept_axes = load_block_mesh(case_dir)
-    fields = load_initial_fields(case_dir, mesh, patch_map, kept_axes)
+    time_name, t0 = start_time(case_dir, control)
+    fields = load_initial_fields(case_dir, mesh, patch_map, kept_axes,
+                                 time_name=time_name)
+    if time_name != "0":
+        # resume semantics: fields absent from the restart directory fall
+        # back to their 0/ definitions (MUST_READ + READ_IF_PRESENT mix,
+        # QGDFoam_2createFields_8H orig. 24-35)
+        base = load_initial_fields(case_dir, mesh, patch_map, kept_axes)
+        for k, v in base.items():
+            fields.setdefault(k, v)
 
     tc = cfg.get("time_controls", TimeControls())
     fvsc = fvsc_schemes(cfg.get("fvSchemes", {}))
@@ -199,7 +208,7 @@ def build_case(case_dir: str):
         if tau is not None:
             kw["tau_model"] = tau
         solver = cls(**kw)
-        return solver, solver.init(p0=p0, T0=T0, U0=U0)
+        return solver, solver.init(p0=p0, T0=T0, U0=U0, t0=t0)
 
     if app in ("QHDFoam", "SRFQHDFoam", "mulesQHDFoam", "QHDDyMFoam"):
         from ..solvers.qhd import QHDFoam
@@ -208,8 +217,11 @@ def build_case(case_dir: str):
         T0, bc_T = fld("T")
         p0, bc_p = (fields["p"][0], fields["p"][1]) if "p" in fields else (None, None)
         g = _read_gravity(case_dir, kept_axes)
-        kw = dict(mesh=mesh, thermo=thermo, bc_U=bc_U, bc_T=bc_T,
-                  time=tc, implicit_diffusion=True, fvsc_scheme=fvsc)
+        # the configured QGD.implicitDiffusion (reference default true,
+        # QGDThermo_8C:70-79) — r2 hardcoded True here and ignored the dict
+        kw = dict(mesh=mesh, thermo=thermo, bc_U=bc_U, bc_T=bc_T, time=tc,
+                  implicit_diffusion=cfg.get("implicit_diffusion", True),
+                  fvsc_scheme=fvsc)
         if bc_p is not None:
             kw["bc_p"] = bc_p
         if tau is not None:
@@ -222,9 +234,11 @@ def build_case(case_dir: str):
             omega = _read_srf_omega(case_dir)
             if omega is not None:
                 kw["omega"] = omega
+        if app == "QHDDyMFoam":
+            kw.update(_read_dynamic_mesh(case_dir, mesh.ndim))
         solver = QHDFoam(**kw)
         p_init = jnp.asarray(p0) if p0 is not None else None
-        return solver, solver.init(U0=U0, T0=T0, p0=p_init)
+        return solver, solver.init(U0=U0, T0=T0, p0=p_init, t0=t0)
 
     if app == "scalarTransportQHDFoam":
         from ..solvers.scalar_transport import ScalarTransportQHD
@@ -235,9 +249,440 @@ def build_case(case_dir: str):
         if tau is not None:
             kw["tau_model"] = tau
         solver = ScalarTransportQHD(**kw)
-        return solver, solver.init(T0=T0, U0=U0)
+        return solver, solver.init(T0=T0, U0=U0, t0=t0)
+
+    if app == "interQHDFoam":
+        from ..solvers.inter_qhd import InterQHDFoam
+
+        props, phase1 = _read_two_phase(cfg.get("transportProperties", {}),
+                                        case_dir)
+        U0, bc_U = fld("U")
+        alpha_name = next(
+            (n for n in (f"alpha.{phase1}", "alpha1", "alpha.water", "alpha")
+             if n in fields), None)
+        if alpha_name is None:
+            raise ValueError(
+                f"case {case_dir} has no alpha field for phase {phase1!r}")
+        a0, bc_a = fields[alpha_name]
+        g = _read_gravity(case_dir, kept_axes)
+        kw = dict(mesh=mesh, props=props, bc_U=bc_U, bc_alpha=bc_a, time=tc,
+                  implicit_diffusion=cfg.get("implicit_diffusion", True),
+                  fvsc_scheme=fvsc)
+        if g is not None:
+            kw["g"] = g
+        if "p" in fields or "p_rgh" in fields:
+            p0, bc_p = fields.get("p", fields.get("p_rgh"))
+            kw["bc_p"] = bc_p
+        else:
+            p0 = None
+        solver = InterQHDFoam(**kw)
+        return solver, solver.init(
+            U0=U0, alpha0=jnp.asarray(a0),
+            p0=jnp.asarray(p0) if p0 is not None else None, t0=t0)
+
+    if app in ("particlesQGDFoam", "particlesQHDFoam"):
+        from ..solvers.particles import (ParticlesQGDFoam, ParticlesQHDFoam,
+                                         ThermoCloud)
+
+        cloud_kw, parcels = _read_cloud(case_dir, kept_axes)
+        if app == "particlesQGDFoam":
+            from ..solvers.qgd import QGDFoam
+
+            U0, bc_U = fld("U")
+            p0, bc_p = fld("p")
+            T0, bc_T = fld("T")
+            kw = dict(mesh=mesh, thermo=thermo, bc_U=bc_U, bc_p=bc_p,
+                      bc_T=bc_T, time=tc, implicit_diffusion=impl,
+                      fvsc_scheme=fvsc)
+            if tau is not None:
+                kw["tau_model"] = tau
+            cloud = ThermoCloud(two_way=True, **cloud_kw)
+            solver = ParticlesQGDFoam(fluid=QGDFoam(**kw), cloud=cloud)
+            return solver, solver.init(p0=p0, T0=T0, U0=U0, t0=t0, **parcels)
+        from ..solvers.qhd import QHDFoam
+
+        U0, bc_U = fld("U")
+        T0, bc_T = fld("T")
+        g = _read_gravity(case_dir, kept_axes)
+        kw = dict(mesh=mesh, thermo=thermo, bc_U=bc_U, bc_T=bc_T, time=tc,
+                  implicit_diffusion=cfg.get("implicit_diffusion", True),
+                  fvsc_scheme=fvsc)
+        if "p" in fields:
+            kw["bc_p"] = fields["p"][1]
+        if tau is not None:
+            kw["tau_model"] = tau
+        if g is not None:
+            kw["g"] = g
+        cloud = ThermoCloud(two_way=False, **cloud_kw)
+        solver = ParticlesQHDFoam(fluid=QHDFoam(**kw), cloud=cloud)
+        return solver, solver.init(U0=U0, T0=T0, t0=t0, **parcels)
+
+    if app == "reactingLagrangianQGDFoam":
+        from ..solvers.reacting import ReactingQGDFoam
+
+        mix = build_reaction_thermo(cfg.get("thermophysicalProperties", {}),
+                                    case_dir)
+        combustion, chem_solver, tabulation = _read_chemistry(case_dir, mix)
+        U0, bc_U = fld("U")
+        p0, bc_p = fld("p")
+        T0, bc_T = fld("T")
+        Y0, bc_Y = _species_fields(fields, mix)
+        kw = dict(mesh=mesh, mixture=mix, combustion=combustion,
+                  chemistry_solver=chem_solver, tabulation=tabulation,
+                  bc_U=bc_U, bc_p=bc_p, bc_T=bc_T, bc_Y=bc_Y, time=tc,
+                  implicit_diffusion=impl, fvsc_scheme=fvsc)
+        if tau is not None:
+            kw["tau_model"] = tau
+        solver = ReactingQGDFoam(**kw)
+        return solver, solver.init(p0=p0, T0=T0, U0=U0, Y0=Y0, t0=t0)
 
     raise ValueError(f"unsupported application {app!r}")
+
+
+def start_time(case_dir: str, control: dict):
+    """controlDict startFrom semantics -> (time directory name, t0).
+
+    `latestTime` scans the case for numeric time directories and resumes
+    from the largest — the reference's MUST_READ resume path
+    (QGDFoam_2createFields_8H orig. 24-35; OpenFOAM Time::setTime).
+    `startTime` / `firstTime` read the named start time (default 0).
+    """
+    mode = str(control.get("startFrom", "startTime"))
+    if isinstance(mode, list):
+        mode = str(mode[0])
+    if mode == "latestTime":
+        best = None
+        for name in os.listdir(case_dir):
+            if not os.path.isdir(os.path.join(case_dir, name)):
+                continue
+            try:
+                tval = float(name)
+            except ValueError:
+                continue
+            if best is None or tval > best[1]:
+                best = (name, tval)
+        if best is not None:
+            return best
+        return "0", 0.0
+    if mode == "firstTime":
+        return "0", 0.0
+    t0 = float(control.get("startTime", 0.0))
+    # OpenFOAM writes integral times without a trailing .0
+    name = str(int(t0)) if t0 == int(t0) else repr(t0)
+    return name, t0
+
+
+def _read_two_phase(transport_props: dict, case_dir: str):
+    """constant/transportProperties -> (TwoPhaseProperties, phase1 name).
+
+    Reads the interFoam-style phase pair (`phases (water air)`, per-phase
+    nu/rho sub-dicts), per-phase relaxation times `tau<phase>` (reference
+    constTwoPhaseProperties_8C:44-45 reads Tau1_("tau"+phase1name)), sigma,
+    and the interface-compression cAlpha from fvSolution's alpha solver dict
+    (interQHDFoam_8C_source.html:71-105 createFields)."""
+    from ..physics.twophase import TwoPhaseProperties
+
+    d = transport_props
+    phases = d.get("phases", ["water", "air"])
+    if not isinstance(phases, list):
+        phases = [str(phases), "air"]
+    p1, p2 = str(phases[0]), str(phases[1])
+
+    def phase(name, default_nu, default_rho):
+        sub = d.get(name, {})
+        nu = sub.get("nu", default_nu)
+        rho = sub.get("rho", default_rho)
+        # dimensionedScalar entries parse as [word, dims..., value]
+        if isinstance(nu, list):
+            nu = nu[-1]
+        if isinstance(rho, list):
+            rho = rho[-1]
+        return float(nu), float(rho)
+
+    nu1, rho1 = phase(p1, 1e-6, 1000.0)
+    nu2, rho2 = phase(p2, 1.48e-5, 1.0)
+
+    def scal(key, default):
+        v = d.get(key, default)
+        return float(v[-1] if isinstance(v, list) else v)
+
+    tau1 = scal("tau" + p1, scal("Tau" + p1, 1e-5))
+    tau2 = scal("tau" + p2, scal("Tau" + p2, tau1))
+    sigma = scal("sigma", 0.0)
+
+    c_alpha = 1.0
+    fvsol = os.path.join(case_dir, "system", "fvSolution")
+    if os.path.exists(fvsol):
+        sol = foamdict.parse_file(fvsol).get("solvers", {})
+        for key, sub in sol.items():
+            if key.startswith("alpha") and isinstance(sub, dict) \
+                    and "cAlpha" in sub:
+                c_alpha = float(sub["cAlpha"])
+    return TwoPhaseProperties(rho1=rho1, rho2=rho2, nu1=nu1, nu2=nu2,
+                              tau1=tau1, tau2=tau2, sigma=sigma,
+                              c_alpha=c_alpha), p1
+
+
+def _read_cloud(case_dir: str, kept_axes):
+    """constant/*CloudProperties -> (ThermoCloud kwargs, initial parcels).
+
+    The reference's basicThermoCloud construction reads
+    constant/thermoCloud1Properties (particlesQGDFoam_2createClouds_8H orig.
+    1-9).  Supported content: constantProperties {rho0, Cp0} and a
+    manual-injection block `initialParcels { positions ((x y z)...);
+    U0 (ux uy uz); T0 ..; d0 ..; }` (the structured-framework counterpart of
+    a manualInjection positionsFile)."""
+    import numpy as np
+
+    props = {}
+    for name in ("thermoCloud1Properties", "thermoCloudProperties",
+                 "cloudProperties", "reactingCloud1Properties"):
+        p = os.path.join(case_dir, "constant", name)
+        if os.path.exists(p):
+            props = foamdict.parse_file(p)
+            break
+    const = props.get("constantProperties", {})
+    kw = {}
+    if "rho0" in const:
+        kw["rho_p"] = float(const["rho0"])
+    if "Cp0" in const:
+        kw["Cp_p"] = float(const["Cp0"])
+
+    inj = props.get("initialParcels", {})
+    pos = inj.get("positions", [])
+    if pos and not isinstance(pos[0], list):
+        pos = [pos]
+    n = max(len(pos), 1)
+    if pos:
+        xyz = np.asarray([[float(c) for c in q] for q in pos])
+    else:
+        xyz = np.zeros((1, 3))
+    x_p = np.stack([xyz[:, ax] for ax in kept_axes])
+    u0 = inj.get("U0", [0.0, 0.0, 0.0])
+    u_p = np.stack([np.full(n, float(u0[ax])) for ax in kept_axes])
+    T_p = np.full(n, float(inj.get("T0", 300.0)))
+    d_p = np.full(n, float(inj.get("d0", 1e-4)))
+    return kw, {"x_p": x_p, "u_p": u_p, "T_p": T_p, "d_p": d_p}
+
+
+def build_reaction_thermo(thermo_props: dict, case_dir: str):
+    """thermophysicalProperties (psiQGDReactionThermo style) ->
+    MixtureThermo: `species` word list, per-specie {specie,thermodynamics,
+    transport} sub-dicts, `inertSpecie`, and the reference's `ScNumbers`
+    tuple list (readScNumbers_8H orig. 1-20)."""
+    from ..physics import thermo as tm
+    from ..physics.species import MixtureThermo, Specie
+
+    d = thermo_props
+    names = [str(s) for s in d.get("species", [])]
+    if not names:
+        raise ValueError("reacting case: thermophysicalProperties has no "
+                         "`species` list")
+    inert = str(d.get("inertSpecie", names[-1]))
+
+    sc_map = {}
+    for pair in d.get("ScNumbers", []):
+        if isinstance(pair, list) and len(pair) == 2:
+            sc_map[str(pair[0])] = float(pair[1])
+
+    mix_transport = None
+    mix_pr = 0.7
+    species = []
+    for name in names:
+        sub = d.get(name, {})
+        spec = sub.get("specie", {})
+        thermodyn = sub.get("thermodynamics", {})
+        transp = sub.get("transport", {})
+        W = float(spec.get("molWeight", 28.96))
+        janaf = None
+        if "highCpCoeffs" in thermodyn:
+            janaf = tm.JanafThermo(
+                R=_RR / W,
+                low=tuple(float(x) for x in thermodyn.get("lowCpCoeffs", [])),
+                high=tuple(float(x)
+                           for x in thermodyn.get("highCpCoeffs", [])),
+                Tcommon=float(thermodyn.get("Tcommon", 1000.0)))
+        species.append(Specie(
+            name=name, W=W,
+            Cp=float(thermodyn.get("Cp", 1000.0)),
+            hf=float(thermodyn.get("Hf", thermodyn.get("hf", 0.0))),
+            janaf=janaf, Sc=sc_map.get(name, 1.0)))
+        if mix_transport is None and "mu" in transp:
+            mix_transport = tm.ConstTransport(mu0=float(transp["mu"]))
+            mix_pr = float(transp.get("Pr", 0.7))
+    if mix_transport is None:
+        mix_transport = tm.ConstTransport(1.8e-5)
+    return MixtureThermo(
+        species=tuple(species),
+        inert_index=names.index(inert) if inert in names else -1,
+        transport=mix_transport, Pr=mix_pr)
+
+
+def _parse_reaction_side(side: str, name_to_idx: dict):
+    out = []
+    for term in side.split("+"):
+        term = term.strip()
+        if not term:
+            continue
+        i = 0
+        while i < len(term) and (term[i].isdigit() or term[i] == "."):
+            i += 1
+        coeff = float(term[:i]) if i else 1.0
+        sp = term[i:].strip()
+        if sp in name_to_idx:
+            out.append((name_to_idx[sp], coeff))
+    return tuple(out)
+
+
+def _read_chemistry(case_dir: str, mix):
+    """constant/chemistryProperties + constant/combustionProperties ->
+    (combustion model, chemistry solver, DeviceISAT tabulation or None).
+
+    The TDAC path (reduction + tabulation sub-dicts active) builds a
+    TDACChemistrySolver, with `method ISATDevice` (or the reference's ISAT
+    word on this framework's device path) yielding a DeviceISAT whose table
+    rides the solver state — the runtime-selectable registration of
+    BasicChemistryModelsQGD_8C_source.html:48-60."""
+    from ..physics import chemistry as chem
+
+    name_to_idx = {sp.name: i for i, sp in enumerate(mix.species)}
+
+    reactions = []
+    chem_props = {}
+    p = os.path.join(case_dir, "constant", "chemistryProperties")
+    if os.path.exists(p):
+        chem_props = foamdict.parse_file(p)
+    rxn_sources = [chem_props.get("reactions", {})]
+    rp = os.path.join(case_dir, "constant", "reactions")
+    if os.path.exists(rp):
+        rxn_sources.append(foamdict.parse_file(rp).get("reactions", {}))
+    for src in rxn_sources:
+        for rname, sub in src.items():
+            if not isinstance(sub, dict) or "reaction" not in sub:
+                continue
+            eq = sub["reaction"]
+            if isinstance(eq, list):
+                eq = " ".join(str(x) for x in eq)
+            eq = str(eq).strip('"')
+            lhs_s, _, rhs_s = eq.partition("=")
+            reactions.append(chem.Reaction(
+                lhs=_parse_reaction_side(lhs_s, name_to_idx),
+                rhs=_parse_reaction_side(rhs_s, name_to_idx),
+                A=float(sub.get("A", 1.0)),
+                beta=float(sub.get("beta", 0.0)),
+                Ta=float(sub.get("Ta", 0.0))))
+
+    comb_word = "laminar" if reactions else "none"
+    cp = os.path.join(case_dir, "constant", "combustionProperties")
+    if os.path.exists(cp):
+        cd = foamdict.parse_file(cp)
+        w = cd.get("combustionModel", comb_word)
+        if isinstance(w, list):
+            w = w[0]
+        comb_word = str(w).split("<")[0]
+        if not bool(cd.get("active", True)):
+            comb_word = "none"
+    comb_kw = {}
+    if comb_word in ("laminar", "PaSR", "EDC", "zoneCombustion",
+                     "infinitelyFastChemistry"):
+        comb_kw["reactions"] = tuple(reactions)
+    try:
+        combustion = create("combustion", comb_word, **comb_kw)
+    except (KeyError, TypeError):
+        combustion = create("combustion", comb_word)
+
+    ctype = chem_props.get("chemistryType", {})
+    solver_word = str(ctype.get("solver", "EulerImplicit"))
+    method = str(ctype.get("method", "standard"))
+    if not bool(chem_props.get("chemistry", True)):
+        combustion = chem.NoCombustion()
+    base = create("chemistrySolver",
+                  solver_word if solver_word != "TDAC" else "EulerImplicit")
+
+    tabulation = None
+    solver = base
+    tab_sub = chem_props.get("tabulation", {})
+    red_sub = chem_props.get("reduction", {})
+    if method == "TDAC" or tab_sub or red_sub:
+        reduction = None
+        if bool(red_sub.get("active", False)):
+            targets = [str(s) for s in red_sub.get("targetSpecies",
+                                                   red_sub.get("species", []))]
+            tgt = tuple(name_to_idx[s] for s in targets if s in name_to_idx)
+            if tgt:
+                reduction = chem.DRG(
+                    targets=tgt,
+                    threshold=float(red_sub.get("tolerance", 0.01)))
+        if bool(tab_sub.get("active", False)):
+            tabulation = chem.DeviceISAT(
+                tol=float(tab_sub.get("tolerance", 1e-3)))
+        solver = chem.TDACChemistrySolver(base=base, reduction=reduction)
+    return combustion, solver, tabulation
+
+
+def _species_fields(fields: dict, mix):
+    """Per-specie 0/<name> fields (Ydefault fallback) -> (Y0 stack, bc_Y
+    per-specie tuple) — the reference's per-specie MUST_READ field files
+    (QGDYEqn solves each specie with its own patches)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core import bc as bcm
+
+    default = fields.get("Ydefault")
+    arrs, bcs = [], []
+    for sp in mix.species:
+        if sp.name in fields:
+            a, b = fields[sp.name]
+        elif default is not None:
+            a, b = default
+        else:
+            raise ValueError(f"missing 0/{sp.name} field (and no Ydefault)")
+        arrs.append(np.asarray(a))
+        bcs.append(b)
+    return jnp.asarray(np.stack(arrs)), tuple(bcs)
+
+
+def _read_dynamic_mesh(case_dir: str, ndim: int):
+    """constant/dynamicMeshDict -> QHDFoam mesh-motion kwargs.
+
+    The reference QHDDyMFoam constructs whatever dynamicFvMesh the dict
+    names (QHDDyMFoam_8C_source.html:44-60); the structured-mesh design
+    supports the rigid-translation and per-axis-dilation subset:
+      solver uniformVelocity;  velocity (ux uy uz);
+      solver uniformDilation;  rate (rx ry rz);   // s_a(t) = 1 + r_a t
+    (both may appear together)."""
+    p = os.path.join(case_dir, "constant", "dynamicMeshDict")
+    if not os.path.exists(p):
+        return {}
+    d = foamdict.parse_file(p)
+    # accept the keys at top level or inside a coeffs sub-dict
+    sub = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            sub.update(v)
+    sub.update({k: v for k, v in d.items() if not isinstance(v, dict)})
+    kw = {}
+    if "velocity" in sub:
+        vel = tuple(float(x) for x in sub["velocity"])[:ndim]
+
+        def mesh_velocity(t, _v=vel):
+            return _v
+
+        kw["mesh_velocity"] = mesh_velocity
+    if "rate" in sub:
+        rate = tuple(float(x) for x in sub["rate"])[:ndim]
+
+        def mesh_scale(t, _r=rate):
+            return tuple(1.0 + r * t for r in _r)
+
+        kw["mesh_scale"] = mesh_scale
+        if "velocity" not in sub:
+            kw.setdefault("mesh_velocity", None)
+    if kw:
+        kw.setdefault("check_mesh_courant",
+                      bool(sub.get("checkMeshCourantNo", False)))
+    return kw
 
 
 def _read_gravity(case_dir: str, kept_axes):

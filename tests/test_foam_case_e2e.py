@@ -154,3 +154,209 @@ def test_build_case_rho_const_words():
     from qgdsolver_tpu.physics.thermo import RhoConstThermo
     assert isinstance(th, RhoConstThermo)
     assert th.rho0 == 1000 and th.beta == 2.07e-4 and th.Pr == 7
+
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_build_case_inter_qhd():
+    """interQHDFoam case ingestion (VERDICT r2 missing #1): phases +
+    per-phase tau/nu/rho from transportProperties
+    (constTwoPhaseProperties_8C:44-45), cAlpha from fvSolution, alpha.water
+    + U + p 0/ fields — then the solver runs steps from the directory
+    alone (interQHDFoam_8C_source.html:71-105 createFields)."""
+    from qgdsolver_tpu.solvers.inter_qhd import InterQHDFoam
+
+    solver, state = foam_case.build_case(os.path.join(FIX, "inter_case"))
+    assert isinstance(solver, InterQHDFoam)
+    pr = solver.props
+    assert (pr.rho1, pr.rho2) == (1000.0, 1.0)
+    np.testing.assert_allclose([pr.nu1, pr.nu2], [1e-6, 1.48e-5])
+    np.testing.assert_allclose([pr.tau1, pr.tau2], [1e-4, 1e-4])
+    assert pr.sigma == 0.07
+    assert pr.c_alpha == 1.0
+    assert solver.g == (0.0, -9.81)
+    # fill a water column and run: alpha stays bounded, mass ~conserved
+    a0 = jnp.asarray(np.where(
+        np.asarray(solver.mesh.centers[1])[None, :]
+        * np.ones(solver.mesh.shape) < 0.4, 1.0, 0.0))
+    state = state._replace(alpha1=a0)
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, state, 5)
+    a = np.asarray(s.alpha1)
+    assert a.min() >= -1e-8 and a.max() <= 1.0 + 1e-8
+    np.testing.assert_allclose(a.sum(), np.asarray(a0).sum(), rtol=5e-3)
+
+
+def test_build_case_particles_qgd():
+    """particlesQGDFoam ingestion: cloudProperties constants + manual
+    parcels (particlesQGDFoam_2createClouds_8H orig. 1-9) on top of the
+    QGD fluid case; parcels advect with the jet."""
+    from qgdsolver_tpu.solvers.particles import ParticlesQGDFoam
+
+    solver, state = foam_case.build_case(os.path.join(FIX, "particles_case"))
+    assert isinstance(solver, ParticlesQGDFoam)
+    assert solver.cloud.rho_p == 2500.0
+    assert solver.cloud.Cp_p == 900.0
+    assert state.cloud.x.shape == (2, 3)
+    np.testing.assert_allclose(np.asarray(state.cloud.dp), 5e-5)
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, state, 5)
+    # drag from the 500 m/s inlet jet accelerates the parcels downstream
+    assert float(jnp.max(s.cloud.x[0] - state.cloud.x[0])) > 0.0
+
+
+def test_build_case_reacting_tdac_isat():
+    """reactingLagrangianQGDFoam ingestion: species list + per-specie
+    dicts + ScNumbers (readScNumbers_8H), reaction equation parsing,
+    chemistryProperties TDAC method with an ACTIVE ISATDevice tabulation
+    whose table rides the state (BasicChemistryModelsQGD_8C:48-60), and
+    per-specie 0/ fields with Ydefault fallback."""
+    from qgdsolver_tpu.physics.chemistry import DeviceISAT
+    from qgdsolver_tpu.solvers.reacting import ReactingQGDFoam
+
+    solver, state = foam_case.build_case(os.path.join(FIX, "reacting_case"))
+    assert isinstance(solver, ReactingQGDFoam)
+    mix = solver.mixture
+    assert [sp.name for sp in mix.species] == ["F", "O2", "N2"]
+    assert mix.inert == 2
+    assert mix.sc_numbers() == (0.7, 0.8, 1.0)
+    assert isinstance(solver.tabulation, DeviceISAT)
+    rxn = solver.combustion.reactions[0]
+    assert rxn.lhs == ((0, 1.0), (1, 2.0))
+    assert rxn.rhs == ((2, 2.5),)
+    assert rxn.A == 5e5 and rxn.Ta == 2000.0
+    np.testing.assert_allclose(np.asarray(state.Y[0]), 0.1)
+    np.testing.assert_allclose(np.asarray(state.Y[2]), 0.4)  # Ydefault
+    assert state.tab is not None
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, state, 3)
+    assert DeviceISAT.counter(s.tab, "lookups") == 3 * 64
+    assert DeviceISAT.counter(s.tab, "hits") > 0  # retrieval engaged
+    np.testing.assert_allclose(np.asarray(jnp.sum(s.Y, 0)), 1.0, atol=1e-9)
+
+
+def test_build_case_qhd_dym():
+    """QHDDyMFoam ingestion reads constant/dynamicMeshDict
+    (QHDDyMFoam_8C_source.html:44-60 createDynamicFvMesh): the
+    uniformDilation motion maps onto mesh_scale with the mesh-Courant
+    check enabled."""
+    solver, state = foam_case.build_case(os.path.join(FIX, "dym_case"))
+    assert solver.mesh_scale is not None
+    np.testing.assert_allclose(solver.mesh_scale(2.0), (1.1, 1.0))
+    assert solver.check_mesh_courant
+    assert solver.implicit_diffusion  # from the dict (true)
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, state, 3)
+    assert np.isfinite(np.asarray(s.T)).all()
+
+
+def test_build_case_resume_latest_time(tmp_path):
+    """startFrom latestTime resumes from the newest time directory's field
+    files, with 0/ as the READ_IF_PRESENT fallback for fields not
+    re-written (QGDFoam_2createFields_8H orig. 24-35 MUST_READ semantics)."""
+    import shutil
+
+    src = os.path.join(FIX, "jet_case")
+    case = tmp_path / "jet_resume"
+    shutil.copytree(src, case)
+    # write a later time directory with a hotter, moving field set
+    td = case / "0.002"
+    td.mkdir()
+    for fn in ("p", "T", "U"):
+        pass
+    (td / "T").write_text(
+        "FoamFile { version 2.0; format ascii; class volScalarField; "
+        "object T; }\n"
+        "internalField uniform 450;\n"
+        "boundaryField { inlet { type fixedValue; value uniform 400; } "
+        "outlet { type zeroGradient; } bottom { type zeroGradient; } "
+        "top { type zeroGradient; } frontAndBack { type empty; } }\n")
+    ctrl = (case / "system" / "controlDict").read_text().replace(
+        "startFrom       startTime;", "startFrom       latestTime;")
+    (case / "system" / "controlDict").write_text(ctrl)
+
+    solver, state = foam_case.build_case(str(case))
+    # T from 0.002/, p and U from the 0/ fallback, t0 = 0.002
+    U, e, T, p = solver.primitives(state)
+    np.testing.assert_allclose(np.asarray(T), 450.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p), 101325.0, rtol=1e-6)
+    np.testing.assert_allclose(float(state.t), 0.002)
+
+
+def test_multi_block_rectilinear_composition(tmp_path):
+    """Multi-block blockMeshDict (VERDICT r2 missing #4): two hex blocks
+    stacked in y with different grading compose into one structured mesh;
+    disagreeing shared-segment subdivision and dead-cell (L-shaped) unions
+    are rejected with clear errors."""
+    import pytest
+
+    from qgdsolver_tpu.io.foam_fields import parse_block_mesh
+    from qgdsolver_tpu.io import foamdict
+
+    def bmd_text(blocks):
+        return f"""
+FoamFile {{ version 2.0; format ascii; class dictionary; object blockMeshDict; }}
+convertToMeters 1;
+vertices
+(
+    (0 0 0) (2 0 0) (2 0.5 0) (0 0.5 0) (2 1 0) (0 1 0)
+    (0 0 0.1) (2 0 0.1) (2 0.5 0.1) (0 0.5 0.1) (2 1 0.1) (0 1 0.1)
+);
+blocks ( {blocks} );
+edges ();
+boundary
+(
+    left  {{ type patch; faces ((0 6 9 3) (3 9 11 5)); }}
+    right {{ type patch; faces ((1 2 8 7) (2 4 10 8)); }}
+    bottom {{ type wall; faces ((0 1 7 6)); }}
+    top    {{ type wall; faces ((5 11 10 4)); }}
+    frontAndBack {{ type empty; faces ((0 3 2 1) (3 5 4 2) (6 7 8 9) (9 8 10 11)); }}
+);
+mergePatchPairs ();
+"""
+
+    good = ("hex (0 1 2 3 6 7 8 9) (16 8 1) simpleGrading (1 2 1) "
+            "hex (3 2 4 5 9 8 10 11) (16 12 1) simpleGrading (1 0.5 1)")
+    p = tmp_path / "bmd"
+    p.write_text(bmd_text(good))
+    mesh, patch_map, kept = parse_block_mesh(foamdict.parse_file(str(p)))
+    assert mesh.shape == (16, 20)  # 8 + 12 cells stacked in y
+    np.testing.assert_allclose(mesh.x_faces[1][[0, -1]], [0.0, 1.0])
+    assert 0.5 in np.round(mesh.x_faces[1], 12)  # shared plane preserved
+    # grading respected per segment: bottom block last/first cell ratio = 2
+    dy = np.diff(mesh.x_faces[1])
+    np.testing.assert_allclose(dy[7] / dy[0], 2.0, rtol=1e-9)
+    assert patch_map["left"][1] == ((0, 0),)
+    assert patch_map["top"][1] == ((1, 1),)
+
+    # disagreeing x-subdivision on the shared segment grid
+    bad = ("hex (0 1 2 3 6 7 8 9) (16 8 1) simpleGrading (1 1 1) "
+           "hex (3 2 4 5 9 8 10 11) (24 12 1) simpleGrading (1 1 1)")
+    p.write_text(bmd_text(bad))
+    with pytest.raises(ValueError, match="disagree"):
+        parse_block_mesh(foamdict.parse_file(str(p)))
+
+    # L-shaped union (backward-facing-step layout): segment (x=[1,2],
+    # y=[0.5,1]) covered by no block -> dead cells rejected explicitly
+    lshape = """
+FoamFile { version 2.0; format ascii; class dictionary; object blockMeshDict; }
+convertToMeters 1;
+vertices
+(
+    (0 0 0) (1 0 0) (2 0 0) (0 0.5 0) (1 0.5 0) (2 0.5 0) (0 1 0) (1 1 0)
+    (0 0 1) (1 0 1) (2 0 1) (0 0.5 1) (1 0.5 1) (2 0.5 1) (0 1 1) (1 1 1)
+);
+blocks
+(
+    hex (0 1 4 3 8 9 12 11)  (8 8 1) simpleGrading (1 1 1)
+    hex (1 2 5 4 9 10 13 12) (8 8 1) simpleGrading (1 1 1)
+    hex (3 4 7 6 11 12 15 14) (8 8 1) simpleGrading (1 1 1)
+);
+edges ();
+boundary ( walls { type wall; faces ((0 8 11 3)); } );
+mergePatchPairs ();
+"""
+    p.write_text(lshape)
+    with pytest.raises(NotImplementedError, match="dead-cell"):
+        parse_block_mesh(foamdict.parse_file(str(p)))
