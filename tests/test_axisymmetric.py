@@ -148,3 +148,26 @@ mergePatchPairs ();
     assert patch_map["inner"][1] == ((1, 0),)
     assert patch_map["outer"][1] == ((1, 1),)
     assert "front" not in patch_map and "back" not in patch_map
+
+
+def test_build_case_wedge_end_to_end():
+    """A full wedge case directory (axisymmetric round duct, reference
+    wedge-tutorial layout) ingests through build_case into an
+    AxisymmetricMesh QGDFoam and runs: uniform axial flow through the duct
+    stays uniform (the hoop source balancing the r-weighted metrics) and
+    fields remain finite."""
+    import os
+
+    from qgdsolver_tpu.io import foam_case
+
+    case = os.path.join(os.path.dirname(__file__), "fixtures", "wedge_case")
+    solver, state = foam_case.build_case(case)
+    assert isinstance(solver.mesh, AxisymmetricMesh)
+    assert solver.mesh.shape == (32, 16)
+    s = common.run_steps(jax.jit(solver.make_step()), state, 10)
+    rho = np.asarray(s.rho)
+    assert np.isfinite(rho).all()
+    np.testing.assert_allclose(rho, rho[0, 0], rtol=1e-6)
+    u = np.asarray(s.rhoU / s.rho[None])
+    np.testing.assert_allclose(u[0], 100.0, rtol=1e-6)
+    assert np.max(np.abs(u[1])) < 1e-6
