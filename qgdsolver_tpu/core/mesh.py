@@ -45,6 +45,11 @@ class Mesh:
 
     x_faces: tuple
     dtype: np.dtype = np.float32
+    # optional dead-cell (solid) mask, True where the cell is OUTSIDE the
+    # flow domain (L-shaped multi-block unions); solvers with stairstep
+    # immersed-wall support honor it, others reject the mesh
+    solid: tuple = dataclasses.field(default=None, compare=False,
+                                     repr=False)
 
     # -- construction helpers -------------------------------------------------
     @staticmethod

@@ -182,6 +182,12 @@ def build_case(case_dir: str):
         for k, v in base.items():
             fields.setdefault(k, v)
 
+    if getattr(mesh, "solid", None) is not None and app not in (
+            "QGDFoam", "particlesQGDFoam"):
+        raise NotImplementedError(
+            "dead-cell (L-shaped multi-block) meshes are supported by the "
+            "explicit stairstep-wall QGD family only; got " + app)
+
     tc = cfg.get("time_controls", TimeControls())
     fvsc = fvsc_schemes(cfg.get("fvSchemes", {}))
     tau = cfg.get("tau_model", None)

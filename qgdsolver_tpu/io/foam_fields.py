@@ -187,8 +187,11 @@ def parse_block_mesh(bmd: dict):
         seg_faces.append(faces_ax)
         seg_counts.append(counts_ax)
 
+    solid = None
     if multi:
-        # full-coverage (no dead cells) check over the segment grid
+        # coverage over the segment grid; uncovered segments become the
+        # dead-cell (solid) mask — L-shaped unions (backward-facing steps)
+        # run as stairstep immersed walls (core.solid.StairstepSolid)
         nseg = [len(p) - 1 for p in seg_pts]
         covered = np.zeros(nseg, dtype=int)
         for blo, bhi, cnt, grd in block_ext:
@@ -201,10 +204,14 @@ def parse_block_mesh(bmd: dict):
         if (covered > 1).any():
             raise ValueError("multi-block blockMeshDict: blocks overlap")
         if (covered == 0).any():
-            raise NotImplementedError(
-                "multi-block blockMeshDict with dead-cell regions "
-                "(L-shaped unions) is not supported: the union of blocks "
-                "must be a full rectangle")
+            if wedge:
+                raise NotImplementedError(
+                    "dead-cell regions on wedge meshes are not supported")
+            dead3 = covered == 0
+            for ax in range(3):
+                reps = np.asarray(seg_counts[ax], dtype=int)
+                dead3 = np.repeat(dead3, reps, axis=ax)
+            solid = dead3
         counts = [int(sum(c)) if c else 1 for c in seg_counts]
 
     empty_axes = set()
@@ -219,8 +226,13 @@ def parse_block_mesh(bmd: dict):
             pts = np.stack([verts[int(i)] for i in quad])
             for ax in range(3):
                 if np.ptp(pts[:, ax]) < 1e-9:
-                    side = 1 if abs(pts[0, ax] - hi[ax]) < 1e-9 else 0
-                    axes_sides.add((ax, side))
+                    if abs(pts[0, ax] - hi[ax]) < 1e-9:
+                        axes_sides.add((ax, 1))
+                    elif abs(pts[0, ax] - lo[ax]) < 1e-9:
+                        axes_sides.add((ax, 0))
+                    # else: a face on an INTERNAL plane — a wall of a
+                    # dead-cell region; the stairstep solid mask supplies
+                    # the wall behavior, no (axis, side) BC slot exists
                     break
             else:
                 raise ValueError(f"patch {name}: face {quad} is not axis-aligned")
@@ -255,7 +267,9 @@ def parse_block_mesh(bmd: dict):
         assert tuple(kept_axes) == (0, 1)
         mesh = AxisymmetricMesh(x_faces=x_faces)
     else:
-        mesh = Mesh(x_faces=x_faces)
+        solid_kept = (_squeeze_to(solid, kept_axes)
+                      if solid is not None else None)
+        mesh = Mesh(x_faces=x_faces, solid=solid_kept)
 
     axis_of = {ax: i for i, ax in enumerate(kept_axes)}
     patch_map = {}

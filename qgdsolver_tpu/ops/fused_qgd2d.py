@@ -151,6 +151,8 @@ def supported(solver, sharded: bool = False) -> bool:
         return False
     if getattr(mesh, "axisymmetric", False):
         return False  # hoop sources + r-weighted metrics: composable only
+    if getattr(mesh, "solid", None) is not None:
+        return False  # stairstep solid masks: composable only
     if np.dtype(mesh.dtype) != np.float32:
         return False
     for a in range(2):

@@ -141,6 +141,18 @@ class QGDFoam:
         bc_zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), nd)
         area = tuple(mesh.face_area(a) for a in range(nd))
 
+        # stairstep immersed solid regions (dead cells of L-shaped
+        # multi-block meshes): mirror-ghost fill before the step + solid
+        # clamp after — see core.solid.StairstepSolid
+        wall = None
+        if getattr(mesh, "solid", None) is not None:
+            from ..core.solid import StairstepSolid
+
+            assert not self.implicit_diffusion, \
+                "solid masks require explicit diffusion (the implicit " \
+                "Helmholtz operator is not masked)"
+            wall = StairstepSolid(mesh.solid)
+
         # e-BCs derived from T-BCs: e_wall = e(T_wall) (sensibleInternalEnergy)
         bc_e = common.e_bcs_from_T(bc_T, th.e_from_T, getattr(th, "Cv", None))
         # trace-time constant gamma for calorically perfect gases; None for
@@ -157,6 +169,18 @@ class QGDFoam:
             for i, (a, side) in enumerate(flux_sides):
                 bc_p = bc_p.replace(a, side, bcm.FixedGradient(s.pbc[i]))
             U, e, T, p = self.primitives(s)
+            if wall is not None:
+                # mirror-ghost fill of solid boundary cells: shared faces
+                # see zero normal velocity + the wall pressure mirror
+                T = wall.mirror(T)
+                p = wall.mirror(p)
+                U = wall.mirror_vector(U)
+                e = jnp.where(wall.boundary, th.e_from_T(T), e)
+                rho = jnp.where(wall.boundary, th.rho_from_p_T(p, T), rho)
+                rhoU = jnp.where(wall.boundary[None], rho[None] * U, rhoU)
+                rhoE = jnp.where(wall.boundary,
+                                 rho * e + 0.5 * rho * jnp.sum(U * U, 0),
+                                 rhoE)
             # resolve inletOutlet markers against the current flow direction
             bc_Ur = bcm.resolve_inlet_outlet(bc_U, U, nd)
             bc_Tr = bcm.resolve_inlet_outlet(bc_T, U, nd)
@@ -300,6 +324,9 @@ class QGDFoam:
 
             # --- QGDRhoEqn.H (explicit)
             rho_new = rho - dt_new * (fvsc.div_flux(tuple(phiJm), mesh) - rhoSu)
+            if wall is not None:
+                # solid cells are not prognostic: clamp to the mirror fill
+                rho_new = jnp.where(wall.solid, rho, rho_new)
 
             # --- QGDUEqn.H
             mom_flux = tuple(phiJmU[a] + eye_vec(phiP[a], a, nd) - phiPi[a]
@@ -327,6 +354,8 @@ class QGDFoam:
                     pi_tt = pi_tt + mu_eff * (2.0 * U[1] / r_c
                                               - (2.0 / 3.0) * divU_cell)
                 rhoU_new = rhoU_new.at[1].add(dt_new * (p - pi_tt) / r_c)
+            if wall is not None:
+                rhoU_new = jnp.where(wall.solid[None], rhoU, rhoU_new)
             U_new = rhoU_new / rho_new[None]
 
             phiSigmaDotU = tuple(jnp.zeros_like(phiJm[a]) for a in range(nd))
@@ -374,6 +403,8 @@ class QGDFoam:
             e_flux = tuple(phiJmH[a] + phiQ[a] - phiPiU[a] - phiSigmaDotU[a]
                            for a in range(nd))
             rhoE_new = rhoE - dt_new * (fvsc.div_flux(e_flux, mesh) - rhoESu)
+            if wall is not None:
+                rhoE_new = jnp.where(wall.solid, rhoE, rhoE_new)
             e_new = rhoE_new / rho_new - 0.5 * jnp.sum(U_new * U_new, axis=0)
             if self.implicit_diffusion:
                 rhs_e = rho_new * e_new / dt_new

@@ -338,7 +338,7 @@ mergePatchPairs ();
         parse_block_mesh(foamdict.parse_file(str(p)))
 
     # L-shaped union (backward-facing-step layout): segment (x=[1,2],
-    # y=[0.5,1]) covered by no block -> dead cells rejected explicitly
+    # y=[0.5,1]) covered by no block -> dead-cell solid mask
     lshape = """
 FoamFile { version 2.0; format ascii; class dictionary; object blockMeshDict; }
 convertToMeters 1;
@@ -354,12 +354,26 @@ blocks
     hex (3 4 7 6 11 12 15 14) (8 8 1) simpleGrading (1 1 1)
 );
 edges ();
-boundary ( walls { type wall; faces ((0 8 11 3)); } );
+boundary
+(
+    walls { type wall; faces ((0 8 11 3)); }
+    frontAndBack
+    {
+        type empty;
+        faces ((0 3 4 1) (1 4 5 2) (3 6 7 4)
+               (8 9 12 11) (9 10 13 12) (11 12 15 14));
+    }
+);
 mergePatchPairs ();
 """
     p.write_text(lshape)
-    with pytest.raises(NotImplementedError, match="dead-cell"):
-        parse_block_mesh(foamdict.parse_file(str(p)))
+    mesh3, pm3, _ = parse_block_mesh(foamdict.parse_file(str(p)))
+    assert mesh3.shape == (16, 16)
+    assert mesh3.solid is not None and mesh3.solid.shape == (16, 16)
+    # dead quadrant: x in [1,2] (cells 8..15), y in [0.5,1] (cells 8..15)
+    assert mesh3.solid[8:, 8:].all()
+    assert mesh3.solid.sum() == 64
+    assert not mesh3.solid[:8, :].any() and not mesh3.solid[8:, :8].any()
 
 
 def test_write_time_dir_roundtrip(tmp_path):
@@ -392,3 +406,63 @@ def test_write_time_dir_roundtrip(tmp_path):
     # continuing the resumed run stays healthy
     s3 = common.run_steps(step, s2._replace(dt=s.dt), 3)
     assert np.isfinite(np.asarray(s3.rho)).all()
+
+
+def test_solid_mask_stairstep_wall_physics():
+    """Stairstep immersed solid (core.solid + QGDFoam): a quiescent
+    uniform gas around a solid block stays EXACTLY quiescent (the mirror
+    fill reproduces the freestream), and channel flow INTO a
+    backward-facing-step wall stagnates against it — pressure rises ahead
+    of the step and no mass piles up inside the solid."""
+    from qgdsolver_tpu.core.mesh import Mesh
+    from qgdsolver_tpu.physics.thermo import PerfectGasThermo
+    from qgdsolver_tpu.physics.qgdcoeffs import ConstScPrModel1
+
+    n = 32
+    solid = np.zeros((n, n), dtype=bool)
+    solid[20:, :12] = True  # the step: lower-right quadrant block
+    mesh = Mesh(x_faces=(np.linspace(0, 2, n + 1), np.linspace(0, 1, n + 1)),
+                dtype=np.float64, solid=solid)
+    th = PerfectGasThermo(R=287.0, Cp=1004.5)
+    zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), 2)
+    solver = QGDFoam(
+        mesh=mesh, thermo=th, tau_model=ConstScPrModel1(alpha=0.5),
+        bc_U=zg, bc_p=zg, bc_T=zg,
+        time=common.TimeControls(max_co=0.2, max_dt=1e-4, dt0=1e-7),
+    )
+    # 1) quiescent freestream preservation
+    p0 = jnp.full(mesh.shape, 1e5, dtype=jnp.float64)
+    T0 = jnp.full(mesh.shape, 300.0, dtype=jnp.float64)
+    s = solver.init(p0=p0, T0=T0, U0=jnp.zeros((2, n, n)))
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, s, 10)
+    fluid = ~solid
+    np.testing.assert_allclose(np.asarray(s.rho)[fluid],
+                               float(s.rho[0, -1]), rtol=1e-12)
+    assert float(jnp.max(jnp.abs(s.rhoU))) < 1e-9
+
+    # 2) flow toward the step stagnates against the wall
+    inflow = bcm.FieldBCs((
+        (bcm.FixedValue(jnp.asarray([60.0, 0.0])), bcm.ZeroGradient()),
+        (bcm.ZeroGradient(), bcm.ZeroGradient()),
+    ))
+    import dataclasses
+    solver2 = dataclasses.replace(solver, bc_U=inflow)
+    U0 = jnp.stack([jnp.full(mesh.shape, 60.0), jnp.zeros(mesh.shape)])
+    U0 = jnp.where(jnp.asarray(solid)[None], 0.0, U0)
+    s2 = solver2.init(p0=p0, T0=T0, U0=U0)
+    step2 = jax.jit(solver2.make_step())
+    s2 = common.run_steps(step2, s2, 200)
+    rho2 = np.asarray(s2.rho)
+    assert np.isfinite(rho2).all() and (rho2[fluid] > 0).all()
+    U2 = np.asarray(s2.rhoU / s2.rho[None])
+    _, _, _, p2 = solver2.primitives(s2)
+    p2 = np.asarray(p2)
+    # stagnation pressure rise just ahead of the step face (x index 19,
+    # lower channel) vs the undisturbed upper channel
+    assert p2[19, :12].mean() > p2[19, 20:].mean() + 100.0
+    # normal velocity INTO the wall face is strongly suppressed vs inflow
+    assert abs(U2[0, 19, :12]).max() < 30.0
+    # solid interior is inert: clamped to its fill, no runaway values
+    assert np.isfinite(rho2).all()
+    assert abs(U2[0][solid]).max() < 60.0
