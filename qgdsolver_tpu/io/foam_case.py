@@ -187,6 +187,15 @@ def build_case(case_dir: str):
         raise NotImplementedError(
             "dead-cell (L-shaped multi-block) meshes are supported by the "
             "explicit stairstep-wall QGD family only; got " + app)
+    if getattr(mesh, "axisymmetric", False) and app not in (
+            "QGDFoam", "rhoQGDFoam", "particlesQGDFoam", "particlesQHDFoam",
+            "QHDFoam", "SRFQHDFoam", "mulesQHDFoam", "QHDDyMFoam",
+            "scalarTransportQHDFoam"):
+        # only solvers carrying the radial hoop sources may run wedges —
+        # anything else would silently generate spurious radial momentum
+        # against the r-weighted face areas
+        raise NotImplementedError(
+            f"wedge (axisymmetric) meshes are not supported by {app}")
 
     tc = cfg.get("time_controls", TimeControls())
     fvsc = fvsc_schemes(cfg.get("fvSchemes", {}))
@@ -290,7 +299,15 @@ def build_case(case_dir: str):
         from ..solvers.particles import (ParticlesQGDFoam, ParticlesQHDFoam,
                                          ThermoCloud)
 
-        cloud_kw, parcels = _read_cloud(case_dir, kept_axes)
+        cloud_kw, parcels, has_parcels, _ = _read_cloud(case_dir, kept_axes)
+
+        def _deactivate(st):
+            # no injection block: the placeholder parcel is inert
+            if has_parcels:
+                return st
+            return st._replace(
+                cloud=st.cloud._replace(active=st.cloud.active * 0))
+
         if app == "particlesQGDFoam":
             from ..solvers.qgd import QGDFoam
 
@@ -304,7 +321,8 @@ def build_case(case_dir: str):
                 kw["tau_model"] = tau
             cloud = ThermoCloud(two_way=True, **cloud_kw)
             solver = ParticlesQGDFoam(fluid=QGDFoam(**kw), cloud=cloud)
-            return solver, solver.init(p0=p0, T0=T0, U0=U0, t0=t0, **parcels)
+            return solver, _deactivate(
+                solver.init(p0=p0, T0=T0, U0=U0, t0=t0, **parcels))
         from ..solvers.qhd import QHDFoam
 
         U0, bc_U = fld("U")
@@ -321,7 +339,8 @@ def build_case(case_dir: str):
             kw["g"] = g
         cloud = ThermoCloud(two_way=False, **cloud_kw)
         solver = ParticlesQHDFoam(fluid=QHDFoam(**kw), cloud=cloud)
-        return solver, solver.init(U0=U0, T0=T0, t0=t0, **parcels)
+        return solver, _deactivate(
+            solver.init(U0=U0, T0=T0, t0=t0, **parcels))
 
     if app == "reactingLagrangianQGDFoam":
         from ..solvers.reacting import ReactingQGDFoam
@@ -339,8 +358,32 @@ def build_case(case_dir: str):
                   implicit_diffusion=impl, fvsc_scheme=fvsc)
         if tau is not None:
             kw["tau_model"] = tau
-        solver = ReactingQGDFoam(**kw)
-        return solver, solver.init(p0=p0, T0=T0, U0=U0, Y0=Y0, t0=t0)
+        fluid = ReactingQGDFoam(**kw)
+        cloud_kw, parcels, has_parcels, cloud_props = _read_cloud(
+            case_dir, kept_axes)
+        if not cloud_props:
+            # no cloud dictionary: the Eulerian reacting core alone
+            return fluid, fluid.init(p0=p0, T0=T0, U0=U0, Y0=Y0, t0=t0)
+        # reference reactingLagrangianQGDFoam always carries the reacting
+        # cloud (createClouds.H); evaporation maps onto the d^2-law
+        from ..solvers.particles import (ReactingCloud,
+                                         ReactingLagrangianQGDFoam)
+
+        evap = cloud_props.get("evaporation", {})
+        sp_word = str(evap.get("specie", mix.species[0].name))
+        names = [sp.name for sp in mix.species]
+        cloud = ReactingCloud(
+            two_way=True,
+            evap_specie=(names.index(sp_word) if sp_word in names else 0),
+            K_evap=float(evap.get("K", 0.0)),
+            latent_heat=float(evap.get("latentHeat", 0.0)),
+            **cloud_kw)
+        solver = ReactingLagrangianQGDFoam(fluid=fluid, cloud=cloud)
+        st = solver.init(p0=p0, T0=T0, U0=U0, Y0=Y0, t0=t0, **parcels)
+        if not has_parcels:
+            st = st._replace(
+                cloud=st.cloud._replace(active=st.cloud.active * 0))
+        return solver, st
 
     raise ValueError(f"unsupported application {app!r}")
 
@@ -468,7 +511,10 @@ def _read_cloud(case_dir: str, kept_axes):
     u_p = np.stack([np.full(n, float(u0[ax])) for ax in kept_axes])
     T_p = np.full(n, float(inj.get("T0", 300.0)))
     d_p = np.full(n, float(inj.get("d0", 1e-4)))
-    return kw, {"x_p": x_p, "u_p": u_p, "T_p": T_p, "d_p": d_p}
+    parcels = {"x_p": x_p, "u_p": u_p, "T_p": T_p, "d_p": d_p}
+    # no injection block: the placeholder parcel must be INACTIVE, or a
+    # two-way cloud would deposit phantom drag/heat into the origin cell
+    return kw, parcels, bool(pos), props
 
 
 def build_reaction_thermo(thermo_props: dict, case_dir: str):

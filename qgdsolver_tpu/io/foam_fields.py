@@ -237,10 +237,10 @@ def parse_block_mesh(bmd: dict):
             else:
                 raise ValueError(f"patch {name}: face {quad} is not axis-aligned")
         raw_patch_plane[name] = (ptype, axes_sides)
-        if ptype == "empty" or (ptype == "wedge" and wedge):
-            # only one-cell axes collapse (guards an `empty`-typed axis
-            # patch at r=0 on wedge meshes from eating the radial axis)
-            empty_axes.update(ax for ax, _ in axes_sides if counts[ax] == 1)
+        if ptype == "empty" and not wedge:
+            empty_axes.update(ax for ax, _ in axes_sides)
+        # wedge meshes: ONLY the swept axis collapses (added below); an
+        # `empty`-typed axis patch at r=0 must not eat the radial axis
     if wedge:
         # both unrolled wedge planes land on z=0; the swept axis collapses
         empty_axes.add(2)

@@ -1227,8 +1227,7 @@ def tiled_supported(solver) -> bool:
         return False
     nx, ny = solver.mesh.shape
     wp = max(LANE, -(-(ny + 2) // LANE) * LANE)
-    n_state = 5 if isinstance(solver.tau_model, VarScModel5) else 4
-    if _pick_slab(nx, wp, n_state) is None:
+    if _pick_slab(nx, wp, _n_state(solver)) is None:
         return False
     # axis-1 array-valued BC profiles are not sliceable here (same
     # restriction as the sharded builder)
@@ -1276,7 +1275,7 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
     Wp = max(LANE, -(-W // LANE) * LANE)
     dtype = np.dtype(mesh.dtype)
     has_varsc = isinstance(tm, VarScModel5)
-    n_state = 5 if has_varsc else 4
+    n_state = _n_state(solver)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     SLAB = slab_rows if slab_rows is not None else _pick_slab(nx, Wp, n_state)

@@ -349,10 +349,13 @@ class QGDFoam:
                 u_gradp_cell = sum(U[i] * gradp_cell[i] for i in range(nd))
                 gam_c = (gamma_const if gamma_const is not None
                          else th.gamma_of(T))
-                pi_tt = coeffs.tau * (u_gradp_cell + gam_c * p * divU_cell)
-                if not self.implicit_diffusion:
-                    pi_tt = pi_tt + mu_eff * (2.0 * U[1] / r_c
-                                              - (2.0 / 3.0) * divU_cell)
+                # the viscous hoop stress is ALWAYS explicit: the implicit
+                # Helmholtz sub-step supplies only the coordinate laplacian
+                # (no 1/r^2 hoop term), so this is its complement in both
+                # diffusion modes (mirrors qhd.py's unconditional term)
+                pi_tt = (coeffs.tau * (u_gradp_cell + gam_c * p * divU_cell)
+                         + mu_eff * (2.0 * U[1] / r_c
+                                     - (2.0 / 3.0) * divU_cell))
                 rhoU_new = rhoU_new.at[1].add(dt_new * (p - pi_tt) / r_c)
             if wall is not None:
                 rhoU_new = jnp.where(wall.solid[None], rhoU, rhoU_new)

@@ -210,30 +210,39 @@ def test_build_case_reacting_tdac_isat():
     """reactingLagrangianQGDFoam ingestion: species list + per-specie
     dicts + ScNumbers (readScNumbers_8H), reaction equation parsing,
     chemistryProperties TDAC method with an ACTIVE ISATDevice tabulation
-    whose table rides the state (BasicChemistryModelsQGD_8C:48-60), and
-    per-specie 0/ fields with Ydefault fallback."""
+    whose table rides the state (BasicChemistryModelsQGD_8C:48-60),
+    per-specie 0/ fields with Ydefault fallback, and the reacting
+    Lagrangian cloud (reactingCloud1Properties + d^2-law evaporation)."""
     from qgdsolver_tpu.physics.chemistry import DeviceISAT
+    from qgdsolver_tpu.solvers.particles import ReactingLagrangianQGDFoam
     from qgdsolver_tpu.solvers.reacting import ReactingQGDFoam
 
     solver, state = foam_case.build_case(os.path.join(FIX, "reacting_case"))
-    assert isinstance(solver, ReactingQGDFoam)
-    mix = solver.mixture
+    assert isinstance(solver, ReactingLagrangianQGDFoam)
+    assert isinstance(solver.fluid, ReactingQGDFoam)
+    assert solver.cloud.rho_p == 800.0
+    assert solver.cloud.evap_specie == 0 and solver.cloud.K_evap == 1e-9
+    assert solver.cloud.latent_heat == 3e5
+    assert state.cloud.x.shape == (2, 1)
+    fluid = solver.fluid
+    mix = fluid.mixture
     assert [sp.name for sp in mix.species] == ["F", "O2", "N2"]
     assert mix.inert == 2
     assert mix.sc_numbers() == (0.7, 0.8, 1.0)
-    assert isinstance(solver.tabulation, DeviceISAT)
-    rxn = solver.combustion.reactions[0]
+    assert isinstance(fluid.tabulation, DeviceISAT)
+    rxn = fluid.combustion.reactions[0]
     assert rxn.lhs == ((0, 1.0), (1, 2.0))
     assert rxn.rhs == ((2, 2.5),)
     assert rxn.A == 5e5 and rxn.Ta == 2000.0
-    np.testing.assert_allclose(np.asarray(state.Y[0]), 0.1)
-    np.testing.assert_allclose(np.asarray(state.Y[2]), 0.4)  # Ydefault
-    assert state.tab is not None
+    np.testing.assert_allclose(np.asarray(state.fluid.Y[0]), 0.1)
+    np.testing.assert_allclose(np.asarray(state.fluid.Y[2]), 0.4)  # Ydefault
+    assert state.fluid.tab is not None
     step = jax.jit(solver.make_step())
     s = common.run_steps(step, state, 3)
-    assert DeviceISAT.counter(s.tab, "lookups") == 3 * 64
-    assert DeviceISAT.counter(s.tab, "hits") > 0  # retrieval engaged
-    np.testing.assert_allclose(np.asarray(jnp.sum(s.Y, 0)), 1.0, atol=1e-9)
+    assert DeviceISAT.counter(s.fluid.tab, "lookups") == 3 * 64
+    assert DeviceISAT.counter(s.fluid.tab, "hits") > 0  # retrieval engaged
+    np.testing.assert_allclose(np.asarray(jnp.sum(s.fluid.Y, 0)), 1.0,
+                               atol=1e-9)
 
 
 def test_build_case_qhd_dym():
@@ -466,3 +475,33 @@ def test_solid_mask_stairstep_wall_physics():
     # solid interior is inert: clamped to its fill, no runaway values
     assert np.isfinite(rho2).all()
     assert abs(U2[0][solid]).max() < 60.0
+
+
+def test_write_state_reacting_ydefault_template(tmp_path):
+    """write_state must write EVERY specie — those initialized through
+    0/Ydefault are templated from it with the object word rewritten, and
+    the latestTime resume reads the evolved composition back (no silent
+    drop, no reset-to-initial)."""
+    import shutil
+
+    from qgdsolver_tpu.io import foam_write
+
+    case = tmp_path / "reacting"
+    shutil.copytree(os.path.join(FIX, "reacting_case"), case)
+    solver, state = foam_case.build_case(str(case))
+    s = common.run_steps(jax.jit(solver.make_step()), state, 3)
+    tdir = foam_write.write_state(str(case), solver, s)
+    # N2 (inert, Ydefault-initialized) written, with its own object word
+    n2 = os.path.join(tdir, "N2")
+    assert os.path.exists(n2)
+    assert "object N2;" in open(n2).read()
+
+    ctrl = (case / "system" / "controlDict").read_text().replace(
+        "startFrom       startTime;", "startFrom       latestTime;")
+    (case / "system" / "controlDict").write_text(ctrl)
+    _, s2 = foam_case.build_case(str(case))
+    np.testing.assert_allclose(np.asarray(s2.fluid.Y),
+                               np.asarray(s.fluid.Y), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(float(s2.fluid.t), float(s.fluid.t),
+                               rtol=1e-10)
