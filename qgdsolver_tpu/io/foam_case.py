@@ -290,6 +290,10 @@ def build_case(case_dir: str):
             kw["bc_p"] = bc_p
         else:
             p0 = None
+        angles = _read_contact_angles(case_dir, time_name, alpha_name,
+                                      patch_map)
+        if angles:
+            kw["contact_angles"] = angles
         solver = InterQHDFoam(**kw)
         return solver, solver.init(
             U0=U0, alpha0=jnp.asarray(a0),
@@ -419,6 +423,42 @@ def start_time(case_dir: str, control: dict):
     # OpenFOAM writes integral times without a trailing .0
     name = str(int(t0)) if t0 == int(t0) else repr(t0)
     return name, t0
+
+
+def _read_contact_angles(case_dir: str, time_name: str, alpha_name: str,
+                         patch_map) -> dict:
+    """Wall contact-angle specs from the alpha field's boundaryField
+    (constant/dynamicAlphaContactAngle words, degrees in the dict ->
+    radians for qInterfaceProperties::correctContactAngle,
+    qInterfaceProperties_8H_source.html:74-144)."""
+    import math
+
+    from ..physics.twophase import ContactAngle
+
+    path = os.path.join(case_dir, time_name, alpha_name)
+    if not os.path.exists(path):
+        path = os.path.join(case_dir, "0", alpha_name)
+        if not os.path.exists(path):
+            return {}
+    d = foamdict.parse_file(path)
+    out = {}
+    for name, entry in d.get("boundaryField", {}).items():
+        if name not in patch_map or not isinstance(entry, dict):
+            continue
+        word = entry.get("type", "")
+        if isinstance(word, list):
+            word = word[0]
+        if "AlphaContactAngle" not in str(word):
+            continue
+        rad = math.radians
+        ca = ContactAngle(
+            theta0=rad(float(entry.get("theta0", 90.0))),
+            uTheta=float(entry.get("uTheta", 0.0)),
+            thetaA=rad(float(entry.get("thetaA", 0.0))),
+            thetaR=rad(float(entry.get("thetaR", 0.0))))
+        for axis, side in patch_map[name][1]:
+            out[(axis, side)] = ca
+    return out
 
 
 def _read_two_phase(transport_props: dict, case_dir: str):

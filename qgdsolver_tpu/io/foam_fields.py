@@ -361,6 +361,11 @@ def _bc_from_entry(entry: dict, ndim: int, kept_axes, vector: bool) -> bcm.BC:
         "calculated": "zeroGradient",
         "symmetryPlane": "symmetry",
         "waveTransmissive": "extrapolated",
+        # contact-angle alpha BCs: the FIELD behaves as zeroGradient; the
+        # angle itself is extracted by foam_case._read_contact_angles and
+        # applied through qInterfaceProperties' correction
+        "constantAlphaContactAngle": "zeroGradient",
+        "dynamicAlphaContactAngle": "zeroGradient",
     }
     word = word_map.get(str(word), str(word))
     try:

@@ -176,6 +176,10 @@ def test_build_case_inter_qhd():
     assert pr.sigma == 0.07
     assert pr.c_alpha == 1.0
     assert solver.g == (0.0, -9.81)
+    # bottom-wall contact angle from the alpha BC word (degrees -> radians)
+    import math
+    ca = solver.contact_angles[(1, 0)]
+    np.testing.assert_allclose(ca.theta0, math.radians(60.0))
     # fill a water column and run: alpha stays bounded, mass ~conserved
     a0 = jnp.asarray(np.where(
         np.asarray(solver.mesh.centers[1])[None, :]
