@@ -1,0 +1,106 @@
+"""Case-runner CLI: the executable surface of the reference solvers.
+
+Every reference application is a binary run inside a case directory whose
+`system/controlDict` drives the time loop: startFrom/startTime, endTime,
+writeControl/writeInterval, adjustTimeStep (QGDFoam_8C_source.html:90-163,
+setDeltaT-QGDQHD_8H).  This module reproduces that surface:
+
+    python -m qgdsolver_tpu <case_dir> [--max-steps N] [--chunk K]
+
+dispatches on `application`, runs jitted chunks of K steps (one lax.scan
+each — the adaptive dt stays on device), writes OpenFOAM-format time
+directories via io.foam_write whenever the solution time crosses the next
+write threshold (adjustableRunTime semantics up to chunk granularity;
+writeControl timeStep counts steps), and prints the reference-style Info
+lines (Time/deltaT) per chunk.
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def _state_time(state) -> float:
+    tv = state.t if hasattr(state, "t") else state.fluid.t
+    return float(np.asarray(tv))
+
+
+def _state_dt(state) -> float:
+    dv = state.dt if hasattr(state, "dt") else state.fluid.dt
+    return float(np.asarray(dv))
+
+
+def run_case(case_dir: str, max_steps=None, chunk: int = 50,
+             log=print) -> int:
+    """Run the case to controlDict endTime; returns the step count."""
+    import jax
+
+    from .io import foam_case, foam_write, foamdict
+    from .solvers import common
+    import os
+
+    solver, state = foam_case.build_case(case_dir)
+    control = foamdict.parse_file(
+        os.path.join(case_dir, "system", "controlDict"))
+    end_time = float(control.get("endTime", math.inf))
+    write_control = str(control.get("writeControl", "adjustableRunTime"))
+    if isinstance(control.get("writeControl"), list):
+        write_control = str(control["writeControl"][0])
+    write_interval = float(control.get("writeInterval", 0.0) or 0.0)
+
+    step = solver.make_step()
+    run = jax.jit(lambda s: common.run_steps(step, s, chunk))
+
+    t = _state_time(state)
+    n_steps = 0
+    by_steps = write_control in ("timeStep", "runTimeModifiable")
+    next_write = None
+    if write_interval > 0.0:
+        next_write = (n_steps + write_interval if by_steps
+                      else t + write_interval)
+
+    t_wall = time.perf_counter()
+    while t < end_time and (max_steps is None or n_steps < max_steps):
+        k = chunk if max_steps is None else min(chunk, max_steps - n_steps)
+        state = run(state) if k == chunk else jax.jit(
+            lambda s, _k=k: common.run_steps(step, s, _k))(state)
+        state = jax.block_until_ready(state)
+        n_steps += k
+        t = _state_time(state)
+        log("Time = %.8g  deltaT = %.8g  (%d steps, %.1f s)"
+            % (t, _state_dt(state), n_steps, time.perf_counter() - t_wall))
+        if next_write is not None:
+            due = (n_steps >= next_write) if by_steps else (t >= next_write)
+            if due:
+                tdir = foam_write.write_state(case_dir, solver, state)
+                log("writing fields to %s" % tdir)
+                while by_steps and next_write <= n_steps:
+                    next_write += write_interval
+                while not by_steps and next_write <= t:
+                    next_write += write_interval
+    tdir = foam_write.write_state(case_dir, solver, state)
+    log("End.  Final fields in %s" % tdir)
+    return n_steps
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m qgdsolver_tpu",
+        description="Run an OpenFOAM-layout QGD/QHD case directory "
+                    "(application from system/controlDict).")
+    ap.add_argument("case", help="case directory")
+    ap.add_argument("--max-steps", type=int, default=None,
+                    help="stop after N steps even before endTime")
+    ap.add_argument("--chunk", type=int, default=50,
+                    help="steps per jitted lax.scan chunk (default 50)")
+    args = ap.parse_args(argv)
+    run_case(args.case, max_steps=args.max_steps, chunk=args.chunk)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,6 +15,7 @@ import os
 
 from . import foamdict
 from ..core.registry import create
+from ..physics import qgdcoeffs as _qgdcoeffs  # noqa: F401 — registers tau
 from ..solvers.common import TimeControls
 
 # reference scheme words -> structured-mesh stencils (SURVEY.md §7.1: both
