@@ -35,8 +35,14 @@ def _state_dt(state) -> float:
 
 
 def run_case(case_dir: str, max_steps=None, chunk: int = 50,
-             log=print) -> int:
-    """Run the case to controlDict endTime; returns the step count."""
+             log=print, fused: str = "auto") -> int:
+    """Run the case to controlDict endTime; returns the step count.
+
+    fused: "auto" uses the fused Pallas kernel path when the config
+    supports it AND the backend is a TPU (the production fast path — the
+    carry stays in the kernel's frame layout between chunks and converts
+    back only for writes); "never" forces the composable step.
+    """
     import jax
 
     from .io import foam_case, foam_write, foamdict
@@ -52,7 +58,14 @@ def run_case(case_dir: str, max_steps=None, chunk: int = 50,
         write_control = str(control["writeControl"][0])
     write_interval = float(control.get("writeInterval", 0.0) or 0.0)
 
-    step = solver.make_step()
+    from_fused = None
+    if (fused == "auto" and jax.default_backend() == "tpu"
+            and getattr(solver, "fused_supported", lambda: False)()):
+        step, to_fused, from_fused = solver.make_fused_step()
+        state = to_fused(state)
+        log("fused Pallas kernel path engaged")
+    else:
+        step = solver.make_step()
     run = jax.jit(lambda s: common.run_steps(step, s, chunk))
 
     t = _state_time(state)
@@ -76,13 +89,15 @@ def run_case(case_dir: str, max_steps=None, chunk: int = 50,
         if next_write is not None:
             due = (n_steps >= next_write) if by_steps else (t >= next_write)
             if due:
-                tdir = foam_write.write_state(case_dir, solver, state)
+                view = from_fused(state) if from_fused else state
+                tdir = foam_write.write_state(case_dir, solver, view)
                 log("writing fields to %s" % tdir)
                 while by_steps and next_write <= n_steps:
                     next_write += write_interval
                 while not by_steps and next_write <= t:
                     next_write += write_interval
-    tdir = foam_write.write_state(case_dir, solver, state)
+    view = from_fused(state) if from_fused else state
+    tdir = foam_write.write_state(case_dir, solver, view)
     log("End.  Final fields in %s" % tdir)
     return n_steps
 
@@ -97,8 +112,12 @@ def main(argv=None) -> int:
                     help="stop after N steps even before endTime")
     ap.add_argument("--chunk", type=int, default=50,
                     help="steps per jitted lax.scan chunk (default 50)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="force the composable step (skip the fused "
+                         "Pallas kernel path on TPU)")
     args = ap.parse_args(argv)
-    run_case(args.case, max_steps=args.max_steps, chunk=args.chunk)
+    run_case(args.case, max_steps=args.max_steps, chunk=args.chunk,
+             fused="never" if args.no_fused else "auto")
     return 0
 
 

@@ -41,11 +41,14 @@ pipeline) ~= 50 B/point — ~8x less than the composable path, leaving the step
 VPU-bound.  Numerics are IDENTICAL op-for-op (same formulas, same association
 order) up to f32 non-associativity of XLA vs Mosaic scheduling.
 
-Restrictions (checked in `supported()`): 2D uniform mesh, f32,
-PerfectGasThermo, ConstScPrModel1-family tau model, explicit diffusion, no
-qgdFlux p-BC, BC types {FixedValue (static value), ZeroGradient,
-FixedGradient (static), Symmetry, Extrapolated}, field set small enough for
-VMEM residency.  Everything else falls back to the composable step.
+Restrictions (checked in `supported()`): 2D uniform planar mesh, f32,
+PerfectGasThermo, ConstScPrModel1-family or varScModel5 tau model, explicit
+diffusion, the `full` vertex stencil for every gradient term, BC types
+{FixedValue (static value), ZeroGradient, FixedGradient (static), Symmetry,
+Extrapolated, InletOutlet (in-kernel flux switch), axis-0 qgdFlux p-BC},
+and a frame set inside the measured VMEM live-set budget (larger grids take
+the HBM-tiled slab pipeline).  Everything else falls back to the composable
+step.
 """
 from __future__ import annotations
 
@@ -90,7 +93,7 @@ class FusedState(tp.NamedTuple):
 # ---------------------------------------------------------------------------
 
 _SIMPLE_BCS = (bcm.FixedValue, bcm.ZeroGradient, bcm.FixedGradient,
-               bcm.Symmetry, bcm.Extrapolated)
+               bcm.Symmetry, bcm.Extrapolated, bcm.InletOutlet)
 
 
 def _n_state(solver) -> int:
@@ -170,8 +173,9 @@ def supported(solver, sharded: bool = False) -> bool:
         return False
     if solver.implicit_diffusion:
         return False
-    if solver.fvsc_scheme != "full":
-        return False
+    for term in ("grad(U)", "grad(e)", "grad(rho)", "grad(p)"):
+        if fvsc.scheme_for(solver.fvsc_scheme, term) != "full":
+            return False
     # qgdFlux p-BC: supported on axis-0 sides (the lagged dp/dn is computed
     # in-kernel from this step's phiwStar/tau_f boundary rows)
     if any(a != 0 for a, _ in solver._flux_sides()):
@@ -258,10 +262,20 @@ def _compile_bcs(solver, mesh, wp, nr=None, m=None):
             return _BCSpec("sym", sign=sign)
         if isinstance(bc, bcm.Extrapolated):
             return _BCSpec("extrap")
-        if isinstance(bc, (bcm.FixedValue, bcm.FixedGradient)):
-            raw = bc.value if isinstance(bc, bcm.FixedValue) else bc.grad
+        if isinstance(bc, (bcm.FixedValue, bcm.FixedGradient,
+                           bcm.InletOutlet)):
+            if isinstance(bc, bcm.FixedValue):
+                raw, kind = bc.value, "fixed"
+            elif isinstance(bc, bcm.FixedGradient):
+                raw, kind = bc.grad, "grad"
+            else:
+                # inletOutlet: per-lane/row switch on the NEW adjacent-cell
+                # outward normal velocity — zeroGradient where flow leaves,
+                # fixedValue(inletValue) where it enters (the entrainment
+                # BC of the reference jet tutorials; resolve_inlet_outlet
+                # parity, the fused ghosts being next step's start state)
+                raw, kind = bc.inlet_value, "io"
             v = _eval_static_value(raw, mesh, a, side, vector_comp=comp)
-            kind = "fixed" if isinstance(bc, bcm.FixedValue) else "grad"
             if v.ndim == 0 or v.size == 1:
                 return _BCSpec(kind, value=float(v.reshape(())))
             if a == 0:
@@ -320,8 +334,13 @@ def _transpose_bc(b, vector):
     """BC for the axis-swapped case; None if not transposable."""
     if isinstance(b, (bcm.ZeroGradient, bcm.Symmetry, bcm.Extrapolated)):
         return b
-    if isinstance(b, (bcm.FixedValue, bcm.FixedGradient)):
-        raw = b.value if isinstance(b, bcm.FixedValue) else b.grad
+    if isinstance(b, (bcm.FixedValue, bcm.FixedGradient, bcm.InletOutlet)):
+        if isinstance(b, bcm.FixedValue):
+            raw = b.value
+        elif isinstance(b, bcm.FixedGradient):
+            raw = b.grad
+        else:
+            raw = b.inlet_value
         if callable(raw):
             def wrapped(t, coords, _f=raw):
                 out = _f(t, tuple(coords)[::-1])
@@ -336,8 +355,11 @@ def _transpose_bc(b, vector):
                 new = v[::-1]
             else:
                 return None  # positional array profile: orientation unclear
-        return (bcm.FixedValue(new) if isinstance(b, bcm.FixedValue)
-                else bcm.FixedGradient(new))
+        if isinstance(b, bcm.FixedValue):
+            return bcm.FixedValue(new)
+        if isinstance(b, bcm.FixedGradient):
+            return bcm.FixedGradient(new)
+        return bcm.InletOutlet(new)
     return None
 
 
@@ -461,10 +483,12 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
                                        m=M if _distributed else None)
     n_bc = len(bc_inputs_np)
 
-    def bc_ghost(spec: _BCSpec, interior, interior2, d, bc_refs, rows=None):
+    def bc_ghost(spec: _BCSpec, interior, interior2, d, bc_refs, rows=None,
+                 un=None, side=0):
         """Ghost layer from its interior neighbours (pad.py `one()` parity).
         `rows` restricts an (NR, 1) axis-1 value profile to the row slice the
-        interior occupies (corner handling on the x-ghost rows)."""
+        interior occupies (corner handling on the x-ghost rows).  `un` is the
+        adjacent-cell outward-axis velocity for the inletOutlet switch."""
         if spec.kind == "zg":
             return interior
         if spec.kind == "sym":
@@ -479,6 +503,11 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
             v = spec.value
         if spec.kind == "fixed":
             return 2.0 * v - interior
+        if spec.kind == "io":
+            # FluxSwitched parity: zeroGradient where flow leaves the
+            # domain, fixedValue mirror where it enters
+            outflow = (un < 0) if side == 0 else (un > 0)
+            return jnp.where(outflow, interior, 2.0 * v - interior)
         return interior + v * d  # fixedGradient (outward-normal convention)
 
     def frame_fn(dtv, flags, ph, Th, ux, uy, scf, bc_refs, emit=None):
@@ -733,11 +762,27 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
         # values, then y lanes over all rows — matches ops.pad.ghost_pad) ----
         fields = {"p": pn, "T": Tn, "ux": uxn, "uy": uyn}
 
+        # inletOutlet switches on the adjacent-cell outward velocity of the
+        # FRESH fields (= next step's start state, matching the composable
+        # path's start-of-step resolve); x-ghost corner rows use the edge
+        # interior row's velocity (pad.py mask edge-replication parity)
+        uyn_f = fields["uy"]
+        uxn_f = fields["ux"]
+
+        def _un_rows(rows):
+            if rows is None:
+                return slice(None)
+            if rows.start == 0:
+                return slice(1, 2)
+            return slice(NR - 2, NR - 1)
+
         def col_ghosts(name, arr, rows=None):
+            ur = _un_rows(rows)
             lo = bc_ghost(specs[name][1][0], arr[:, 1:2], arr[:, 2:3], dy,
-                          bc_refs, rows=rows)
+                          bc_refs, rows=rows, un=uyn_f[ur, 1:2], side=0)
             hi = bc_ghost(specs[name][1][1], arr[:, M:M + 1], arr[:, M - 1:M],
-                          dy, bc_refs, rows=rows)
+                          dy, bc_refs, rows=rows, un=uyn_f[ur, M:M + 1],
+                          side=1)
             if _distributed and _y_distributed:
                 # shard-interior y edges: keep the halo lane (the wrapper
                 # overwrites it with the neighbour's row after the kernel)
@@ -763,13 +808,14 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
                 glo = arr[1:2, :] + (ws0[0:1, :] / taufx[0:1, :]) * dx
             else:
                 glo = bc_ghost(specs[name][0][0], arr[1:2, :], arr[2:3, :],
-                               dx, bc_refs)
+                               dx, bc_refs, un=uxn_f[1:2, :], side=0)
             if name == "p" and qf_hi:
                 ghi = arr[-2:-1, :] - (
                     ws0[NR - 2:NR - 1, :] / taufx[NR - 2:NR - 1, :]) * dx
             else:
                 ghi = bc_ghost(specs[name][0][1], arr[-2:-1, :],
-                               arr[-3:-2, :], dx, bc_refs)
+                               arr[-3:-2, :], dx, bc_refs,
+                               un=uxn_f[-2:-1, :], side=1)
             if _distributed:
                 glo = jnp.where(is_lo, glo, arr[1:2, :])
                 ghi = jnp.where(is_hi, ghi, arr[-2:-1, :])
@@ -910,10 +956,13 @@ def _make_state_io(solver, NR, M, Wp, dtype):
         for i, (a, side) in enumerate(flux_sides):
             bc_pp = bc_pp.replace(a, side, bcm.FixedGradient(s.pbc[i]))
         U, e, T, p = solver.primitives(s)
-        Upad = ghost_pad(U, bc_U, mesh, t=s.t, vector=True)
+        bc_Ur = bcm.resolve_inlet_outlet(bc_U, U, 2)
+        bc_pp = bcm.resolve_inlet_outlet(bc_pp, U, 2)
+        bc_Tr = bcm.resolve_inlet_outlet(bc_T, U, 2)
+        Upad = ghost_pad(U, bc_Ur, mesh, t=s.t, vector=True)
         return FusedState(
             p=_lane_pad(ghost_pad(p, bc_pp, mesh, t=s.t)),
-            T=_lane_pad(ghost_pad(T, bc_T, mesh, t=s.t)),
+            T=_lane_pad(ghost_pad(T, bc_Tr, mesh, t=s.t)),
             ux=_lane_pad(Upad[0]), uy=_lane_pad(Upad[1]),
             t=s.t, dt=s.dt,
             sc=_sc_frame(s.sc) if has_varsc else None,
@@ -1115,10 +1164,13 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
 
     def to_sharded(s: State) -> FusedState:
         U, e, T, p = solver.primitives(s)
-        Upad = ghost_pad(U, bc_U, mesh, t=s.t, vector=True)
+        bc_Ur = bcm.resolve_inlet_outlet(bc_U, U, 2)
+        bc_pr = bcm.resolve_inlet_outlet(bc_p, U, 2)
+        bc_Tr = bcm.resolve_inlet_outlet(bc_T, U, 2)
+        Upad = ghost_pad(U, bc_Ur, mesh, t=s.t, vector=True)
         padded = {
-            "p": ghost_pad(p, bc_p, mesh, t=s.t),
-            "T": ghost_pad(T, bc_T, mesh, t=s.t),
+            "p": ghost_pad(p, bc_pr, mesh, t=s.t),
+            "T": ghost_pad(T, bc_Tr, mesh, t=s.t),
             "ux": Upad[0], "uy": Upad[1],
         }
 
@@ -1482,9 +1534,12 @@ def _make_tiled_state_io(solver, nx, M, Wp, dtype):
         for i, (a, side) in enumerate(flux_sides):
             bc_pp = bc_pp.replace(a, side, bcm.FixedGradient(s.pbc[i]))
         U, e, T, p = solver.primitives(s)
-        Upad = ghost_pad(U, bc_U, mesh, t=s.t, vector=True)
+        bc_Ur = bcm.resolve_inlet_outlet(bc_U, U, 2)
+        bc_pp = bcm.resolve_inlet_outlet(bc_pp, U, 2)
+        bc_Tr = bcm.resolve_inlet_outlet(bc_T, U, 2)
+        Upad = ghost_pad(U, bc_Ur, mesh, t=s.t, vector=True)
         frames = (_lane_pad(ghost_pad(p, bc_pp, mesh, t=s.t)),
-                  _lane_pad(ghost_pad(T, bc_T, mesh, t=s.t)),
+                  _lane_pad(ghost_pad(T, bc_Tr, mesh, t=s.t)),
                   _lane_pad(Upad[0]), _lane_pad(Upad[1]))
         ints = tuple(fr[1:-1] for fr in frames)
         gls = tuple(jnp.broadcast_to(fr[0:1], (8, Wp)) for fr in frames)
