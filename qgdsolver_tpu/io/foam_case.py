@@ -720,8 +720,6 @@ def _species_fields(fields: dict, mix):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..core import bc as bcm
-
     default = fields.get("Ydefault")
     arrs, bcs = [], []
     for sp in mix.species:

@@ -40,7 +40,7 @@ from ..core import bc as bcm
 from ..ops import fvsc, linsolve
 from ..ops.pad import ghost_pad
 from ..physics.thermo import PerfectGasThermo
-from ..physics.qgdcoeffs import TauModel, ConstScPrModel1, VarScModel5
+from ..physics.qgdcoeffs import TauModel, ConstScPrModel1
 from . import common
 from .common import TimeControls
 
