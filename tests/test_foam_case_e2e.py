@@ -509,3 +509,41 @@ def test_write_state_reacting_ydefault_template(tmp_path):
                                atol=1e-12)
     np.testing.assert_allclose(float(s2.fluid.t), float(s.fluid.t),
                                rtol=1e-10)
+
+
+def test_build_case_3d_box(tmp_path):
+    """A full 3D blockMeshDict (no empty pair) ingests into a 3D mesh and
+    the QGD solver runs on it — the composable operator stack is
+    dimension-agnostic (SURVEY §2.1: fvsc 1D/2D/3D)."""
+    import shutil
+
+    case = tmp_path / "box3d"
+    shutil.copytree(CASE, case)
+    (case / "system" / "blockMeshDict").write_text("""
+FoamFile { version 2.0; format ascii; class dictionary; object blockMeshDict; }
+convertToMeters 1;
+vertices
+(
+    (0 0 0) (1 0 0) (1 0.5 0) (0 0.5 0)
+    (0 0 0.5) (1 0 0.5) (1 0.5 0.5) (0 0.5 0.5)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (12 6 6) simpleGrading (1 1 1) );
+edges ();
+boundary
+(
+    inlet  { type patch; faces ((0 4 7 3)); }
+    outlet { type patch; faces ((1 2 6 5)); }
+    bottom { type wall;  faces ((0 1 5 4)); }
+    top    { type wall;  faces ((3 7 6 2)); }
+    back   { type wall;  faces ((0 3 2 1)); }
+    front  { type wall;  faces ((4 5 6 7)); }
+);
+mergePatchPairs ();
+""")
+    solver, state = foam_case.build_case(str(case))
+    assert solver.mesh.ndim == 3
+    assert solver.mesh.shape == (12, 6, 6)
+    assert state.rhoU.shape == (3, 12, 6, 6)
+    s = common.run_steps(jax.jit(solver.make_step()), state, 5)
+    assert np.isfinite(np.asarray(s.rho)).all()
+    assert np.asarray(s.rho).min() > 0
