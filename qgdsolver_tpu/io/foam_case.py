@@ -514,14 +514,16 @@ def _read_two_phase(transport_props: dict, case_dir: str):
 
 
 def _read_cloud(case_dir: str, kept_axes):
-    """constant/*CloudProperties -> (ThermoCloud kwargs, initial parcels).
+    """constant/*CloudProperties -> (ThermoCloud kwargs, initial parcels,
+    has_real_parcels, raw properties dict).
 
     The reference's basicThermoCloud construction reads
     constant/thermoCloud1Properties (particlesQGDFoam_2createClouds_8H orig.
     1-9).  Supported content: constantProperties {rho0, Cp0} and a
     manual-injection block `initialParcels { positions ((x y z)...);
     U0 (ux uy uz); T0 ..; d0 ..; }` (the structured-framework counterpart of
-    a manualInjection positionsFile)."""
+    a manualInjection positionsFile).  With no injection block the parcel
+    arrays hold one placeholder the caller must DEACTIVATE."""
     import numpy as np
 
     props = {}
