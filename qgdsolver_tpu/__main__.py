@@ -1,4 +1,5 @@
 """`python -m qgdsolver_tpu <case_dir>` — the solver-executable surface."""
 from .cli import main
 
-raise SystemExit(main())
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -70,15 +70,29 @@ def run_case(case_dir: str, max_steps=None, chunk: int = 50,
 
     t = _state_time(state)
     n_steps = 0
-    by_steps = write_control in ("timeStep", "runTimeModifiable")
+    by_steps = write_control == "timeStep"
     next_write = None
     if write_interval > 0.0:
         next_write = (n_steps + write_interval if by_steps
                       else t + write_interval)
 
+    def write():
+        view = from_fused(state) if from_fused else state
+        tdir = foam_write.write_state(case_dir, solver, view)
+        log("writing fields to %s" % tdir)
+        return tdir
+
     t_wall = time.perf_counter()
     while t < end_time and (max_steps is None or n_steps < max_steps):
         k = chunk if max_steps is None else min(chunk, max_steps - n_steps)
+        if math.isfinite(end_time):
+            # bound the tail chunk by the current-dt estimate so the run
+            # stops at the first step crossing endTime instead of
+            # overshooting by a whole chunk (dt itself is not trimmed to
+            # land exactly on endTime — documented deviation from
+            # adjustableRunTime)
+            dt_cur = max(_state_dt(state), 1e-300)
+            k = max(1, min(k, int((end_time - t) / dt_cur) + 1))
         state = run(state) if k == chunk else jax.jit(
             lambda s, _k=k: common.run_steps(step, s, _k))(state)
         state = jax.block_until_ready(state)
@@ -89,15 +103,12 @@ def run_case(case_dir: str, max_steps=None, chunk: int = 50,
         if next_write is not None:
             due = (n_steps >= next_write) if by_steps else (t >= next_write)
             if due:
-                view = from_fused(state) if from_fused else state
-                tdir = foam_write.write_state(case_dir, solver, view)
-                log("writing fields to %s" % tdir)
+                write()
                 while by_steps and next_write <= n_steps:
                     next_write += write_interval
                 while not by_steps and next_write <= t:
                     next_write += write_interval
-    view = from_fused(state) if from_fused else state
-    tdir = foam_write.write_state(case_dir, solver, view)
+    tdir = write()
     log("End.  Final fields in %s" % tdir)
     return n_steps
 

@@ -436,6 +436,10 @@ def _read_contact_angles(case_dir: str, time_name: str, alpha_name: str,
 
     from ..physics.twophase import ContactAngle
 
+    # NOTE: this re-parses the alpha field file load_initial_fields already
+    # read (its BC word_map collapses contact-angle words to zeroGradient,
+    # dropping the angle parameters); the duplicate parse keeps
+    # parse_field_file's return shape stable for all other fields
     path = os.path.join(case_dir, time_name, alpha_name)
     if not os.path.exists(path):
         path = os.path.join(case_dir, "0", alpha_name)

@@ -188,6 +188,13 @@ def supported(solver, sharded: bool = False) -> bool:
                     continue
                 if not isinstance(b, _SIMPLE_BCS):
                     return False
+                raw = (b.value if isinstance(b, bcm.FixedValue)
+                       else b.grad if isinstance(b, bcm.FixedGradient)
+                       else b.inlet_value if isinstance(b, bcm.InletOutlet)
+                       else None)
+                if raw is not None and not _value_is_static(raw, mesh, a,
+                                                            side):
+                    return False  # time-dependent BC: composable only
     if sharded:
         # per-shard VMEM feasibility is checked by build_sharded_fused_step
         # against the LOCAL block dims (the global frame never materialises)
@@ -201,10 +208,11 @@ def supported(solver, sharded: bool = False) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _eval_static_value(v, mesh, a, side, vector_comp=None):
+def _eval_static_value(v, mesh, a, side, vector_comp=None, t=0.0):
     """Evaluate a BC value/gradient spec to a static numpy array over the
-    ghost layer (mirrors pad._layer_coords at t=0; time-dependent BC values
-    are not supported by the fused path)."""
+    ghost layer (mirrors pad._layer_coords; time-DEPENDENT callables are
+    rejected by `supported()` via `_value_is_static`, so evaluating at one
+    time is exact for the callables that reach the kernel build)."""
     if callable(v):
         nd = mesh.ndim
         coords = []
@@ -218,7 +226,7 @@ def _eval_static_value(v, mesh, a, side, vector_comp=None):
                 shape[b] = len(vals)
                 c = jnp.asarray(vals, dtype=mesh.dtype).reshape(shape)
             coords.append(c)
-        out = np.asarray(v(0.0, tuple(coords)))
+        out = np.asarray(v(t, tuple(coords)))
         if vector_comp is not None:
             out = out[vector_comp]
         return out.astype(mesh.dtype)
@@ -226,6 +234,21 @@ def _eval_static_value(v, mesh, a, side, vector_comp=None):
     if vector_comp is not None and v.ndim >= 1 and v.shape[0] == mesh.ndim:
         v = v[vector_comp]
     return v
+
+
+def _value_is_static(v, mesh, a, side) -> bool:
+    """True if a BC value spec is time-independent: plain arrays always;
+    callables (spatial profiles like the jet inlet) only when evaluating at
+    two distinct times agrees — a time-dependent BC (e.g. cosVelocity)
+    must NOT reach the fused kernel, which would silently freeze it."""
+    if not callable(v):
+        return True
+    try:
+        va = _eval_static_value(v, mesh, a, side, t=0.0)
+        vb = _eval_static_value(v, mesh, a, side, t=0.7853981633974483)
+    except Exception:  # noqa: BLE001 — be conservative on odd specs
+        return False
+    return np.array_equal(np.asarray(va), np.asarray(vb))
 
 
 @dataclasses.dataclass(frozen=True)

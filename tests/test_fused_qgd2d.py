@@ -213,3 +213,22 @@ def test_fused_matches_composable_ingested_case():
         b = np.asarray(getattr(s2, name))
         scale = np.max(np.abs(a))
         assert np.max(np.abs(a - b)) / scale < 1e-3, name
+
+
+def test_time_dependent_bc_rejected(jet):
+    """A time-DEPENDENT BC callable (e.g. cosVelocity forcing) must route
+    to the composable step — the fused kernel bakes BC values at build
+    time and would silently freeze the oscillation.  Static spatial
+    profiles (the jet inlet, which ignores t) stay supported."""
+    solver, _ = jet
+    assert fused_qgd2d.supported(solver)  # static profile callable OK
+
+    def oscillating(t, coords):
+        yy = coords[1]
+        amp = jnp.sin(2.0 * t) * jnp.ones_like(yy)
+        return jnp.stack(jnp.broadcast_arrays(amp, jnp.zeros_like(yy)))
+
+    bc_U = solver.bc_U.replace(0, 0, fused_qgd2d.bcm.FixedValue(oscillating))
+    s2 = dataclasses.replace(solver, bc_U=bc_U)
+    assert not fused_qgd2d.supported(s2)
+    assert not s2.fused_supported()
