@@ -1199,7 +1199,9 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
 
         def split(a):
             # overlapped blocks: block (i, j) = rows [i*nxl, i*nxl + NRl) x
-            # lanes [j*nyl, j*nyl + Wl), lane-padded to Wpl
+            # lanes [j*nyl, j*nyl + Wl), lane-padded to Wpl.  Cast: f64 BC
+            # values under jax_enable_x64 promote ghost_pad's output
+            a = a.astype(dtype)
             blocks = []
             for i in range(px):
                 row = []

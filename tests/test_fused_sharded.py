@@ -83,3 +83,37 @@ def test_sharded_fused_2d_mesh_matches_serial(pxy):
     # rhoU has near-zero shear cells; scale-aware atol (momentum scale ~800)
     np.testing.assert_allclose(np.asarray(a.rhoU), np.asarray(b.rhoU),
                                rtol=1e-5, atol=0.05)
+
+
+def test_sharded_fused_inlet_outlet_matches_serial():
+    """inletOutlet BCs under the sharded fused kernel: the in-kernel flux
+    switch must act only at physical edges (is_lo/is_hi guarded) and agree
+    with the serial kernel bitwise on an x-ring decomposition."""
+    import dataclasses
+
+    from qgdsolver_tpu.core import bc as bcm
+
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough devices")
+    solver, state = cases.supersonic_jet(shape=(64, 32), dtype=np.float32)
+    bc_U = solver.bc_U.replace(1, 1, bcm.InletOutlet(jnp.zeros(2)))
+    bc_T = solver.bc_T.replace(0, 1, bcm.InletOutlet(300.0))
+    solver = dataclasses.replace(solver, bc_U=bc_U, bc_T=bc_T)
+    assert fused_qgd2d.supported(solver, sharded=True)
+
+    dmesh = shd.make_device_mesh(jax.devices()[:2], shape=(2, 1),
+                                 axis_names=("X", "Y"))
+    sstep, to_sh, from_sh = fused_qgd2d.build_sharded_fused_step(
+        solver, dmesh)
+    fstep, to_f, from_f = fused_qgd2d.build_fused_step(solver,
+                                                       auto_layout=False)
+    fs, ss = to_f(state), to_sh(state)
+    jf, js = jax.jit(fstep), jax.jit(sstep)
+    for _ in range(10):
+        fs = jf(fs)
+        ss = js(ss)
+    a, b = from_f(fs), from_sh(ss)
+    for name in ("rho", "rhoU", "rhoE", "dt"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, name)),
+                                      np.asarray(getattr(b, name)),
+                                      err_msg=name)
