@@ -39,3 +39,31 @@ def test_cli_runs_writes_and_resumes(tmp_path):
     solver, state = foam_case.build_case(str(case))
     assert float(np.asarray(state.t)) > 0.0
     assert np.isfinite(np.asarray(state.rho)).all()
+
+
+def test_cli_stops_at_end_time(tmp_path):
+    """Without --max-steps the loop runs to controlDict endTime, bounding
+    the tail chunk so the run stops at the first step crossing it rather
+    than overshooting by a whole chunk."""
+    case = tmp_path / "jet"
+    shutil.copytree(CASE, case)
+    end_time = 2e-6  # ~ a couple dozen dt0=1e-7 adaptive steps
+    ctrl = (case / "system" / "controlDict").read_text().replace(
+        "endTime         0.01;", "endTime         %g;" % end_time)
+    (case / "system" / "controlDict").write_text(ctrl)
+
+    from qgdsolver_tpu.io import foam_write
+
+    logs = []
+    n = cli.run_case(str(case), chunk=50, log=logs.append)
+    solver, state = foam_case.build_case(str(case))  # fresh; just for mesh
+    # final Time line: reached endTime but did not overshoot materially
+    t_final = float(logs[-2].split("Time = ")[1].split()[0]) \
+        if "Time = " in logs[-2] else None
+    times = [float(ln.split("Time = ")[1].split()[0])
+             for ln in logs if ln.startswith("Time = ")]
+    assert times and times[-1] >= end_time
+    # overshoot bounded by ~one step of maxDeltaT (1e-4 in the fixture),
+    # not by a whole 50-step chunk at maxDeltaT
+    assert times[-1] < end_time + 2e-4
+    assert 0 < n < 50 * 5
