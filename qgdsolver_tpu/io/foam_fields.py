@@ -374,6 +374,17 @@ def _bc_from_entry(entry: dict, ndim: int, kept_axes, vector: bool) -> bcm.BC:
         raise ValueError(f"unsupported boundary type word {word!r}")
 
 
+def _bc_equal(a, b) -> bool:
+    """Equality of two parsed BCs, tolerant of array-valued fields (whose
+    dataclass __eq__ would raise on ambiguous elementwise comparison)."""
+    if type(a) is not type(b):
+        return False
+    try:
+        return bool(a == b)
+    except Exception:  # noqa: BLE001 — array-valued specs
+        return repr(a) == repr(b)
+
+
 def parse_field_file(path: str, mesh: Mesh, patch_map, kept_axes,
                      counts3=None, default_bc=None):
     """0/<field> file -> (internal ndarray, FieldBCs).
@@ -395,6 +406,7 @@ def parse_field_file(path: str, mesh: Mesh, patch_map, kept_axes,
 
     default = default_bc or bcm.ZeroGradient()
     rows = [[default, default] for _ in range(nd)]
+    owners = [[None, None] for _ in range(nd)]
     bfield = d.get("boundaryField", {})
     for name, entry in bfield.items():
         if name not in patch_map:
@@ -404,7 +416,18 @@ def parse_field_file(path: str, mesh: Mesh, patch_map, kept_axes,
             continue
         bc = _bc_from_entry(entry, nd, kept_axes, vector)
         for axis, side in sides:
+            prev = owners[axis][side]
+            if prev is not None and not _bc_equal(rows[axis][side], bc):
+                # two patches share one mesh side with DIFFERENT BCs: the
+                # (axis, side) BC model cannot represent a split side —
+                # refuse rather than silently letting the last write win
+                raise ValueError(
+                    f"patches {prev!r} and {name!r} both cover mesh side "
+                    f"(axis {axis}, side {side}) of {path} with different "
+                    "boundary conditions; split-side patches are not "
+                    "supported by the structured (axis, side) BC model")
             rows[axis][side] = bc
+            owners[axis][side] = name
     # cyclic patches declared in blockMeshDict apply even if boundaryField
     # names them with type cyclic
     for name, (ptype, sides) in patch_map.items():

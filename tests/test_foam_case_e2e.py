@@ -547,3 +547,29 @@ mergePatchPairs ();
     s = common.run_steps(jax.jit(solver.make_step()), state, 5)
     assert np.isfinite(np.asarray(s.rho)).all()
     assert np.asarray(s.rho).min() > 0
+
+
+def test_split_side_patch_conflict_rejected(tmp_path):
+    """Two patches covering the SAME mesh side with different BCs (a
+    split-side multi-block layout) must be rejected loudly — the
+    (axis, side) BC model cannot represent it, and silently letting the
+    last boundaryField entry win would be wrong physics."""
+    import shutil
+
+    import pytest
+
+    case = tmp_path / "jet"
+    shutil.copytree(CASE, case)
+    # declare a second patch on part of the inlet plane with a different BC
+    bmd = (case / "system" / "blockMeshDict").read_text().replace(
+        "inlet        { type patch; faces ((0 4 7 3)); }",
+        "inlet        { type patch; faces ((0 4 7 3)); }\n"
+        "    inlet2       { type wall; faces ((0 4 7 3)); }")
+    (case / "system" / "blockMeshDict").write_text(bmd)
+    u = (case / "0" / "U").read_text().replace(
+        "inlet        { type fixedValue; value uniform (500 0 0); }",
+        "inlet        { type fixedValue; value uniform (500 0 0); }\n"
+        "    inlet2       { type fixedValue; value uniform (0 0 0); }")
+    (case / "0" / "U").write_text(u)
+    with pytest.raises(ValueError, match="split-side"):
+        foam_case.build_case(str(case))
