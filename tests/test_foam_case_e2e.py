@@ -573,3 +573,48 @@ def test_split_side_patch_conflict_rejected(tmp_path):
     (case / "0" / "U").write_text(u)
     with pytest.raises(ValueError, match="split-side"):
         foam_case.build_case(str(case))
+
+
+def test_write_time_dir_roundtrip_3d(tmp_path):
+    """foam_write's x-fastest serialization in full 3D: run the 3D box a
+    few steps, write, resume from latestTime, and match the evolved state
+    (exercises the 3-component vector path and 3-axis cell ordering)."""
+    import shutil
+
+    from qgdsolver_tpu.io import foam_write
+
+    case = tmp_path / "box3d"
+    shutil.copytree(CASE, case)
+    (case / "system" / "blockMeshDict").write_text("""
+FoamFile { version 2.0; format ascii; class dictionary; object blockMeshDict; }
+convertToMeters 1;
+vertices
+(
+    (0 0 0) (1 0 0) (1 0.5 0) (0 0.5 0)
+    (0 0 0.5) (1 0 0.5) (1 0.5 0.5) (0 0.5 0.5)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (8 4 4) simpleGrading (1 1 1) );
+edges ();
+boundary
+(
+    inlet  { type patch; faces ((0 4 7 3)); }
+    outlet { type patch; faces ((1 2 6 5)); }
+    bottom { type wall;  faces ((0 1 5 4)); }
+    top    { type wall;  faces ((3 7 6 2)); }
+    back   { type wall;  faces ((0 3 2 1)); }
+    front  { type wall;  faces ((4 5 6 7)); }
+);
+mergePatchPairs ();
+""")
+    solver, state = foam_case.build_case(str(case))
+    s = common.run_steps(jax.jit(solver.make_step()), state, 4)
+    foam_write.write_state(str(case), solver, s)
+    ctrl = (case / "system" / "controlDict").read_text().replace(
+        "startFrom       startTime;", "startFrom       latestTime;")
+    (case / "system" / "controlDict").write_text(ctrl)
+    _, s2 = foam_case.build_case(str(case))
+    np.testing.assert_allclose(np.asarray(s2.rho), np.asarray(s.rho),
+                               rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(s2.rhoU), np.asarray(s.rhoU),
+                               rtol=1e-9, atol=1e-8)
+    np.testing.assert_allclose(float(s2.t), float(s.t), rtol=1e-12)
