@@ -283,7 +283,7 @@ def build_case(case_dir: str):
         g = _read_gravity(case_dir, kept_axes)
         kw = dict(mesh=mesh, props=props, bc_U=bc_U, bc_alpha=bc_a, time=tc,
                   implicit_diffusion=cfg.get("implicit_diffusion", True),
-                  fvsc_scheme=fvsc)
+                  fvsc_scheme=fvsc, alpha_field=alpha_name)
         if g is not None:
             kw["g"] = g
         if "p" in fields or "p_rgh" in fields:
@@ -364,8 +364,15 @@ def build_case(case_dir: str):
         if tau is not None:
             kw["tau_model"] = tau
         fluid = ReactingQGDFoam(**kw)
+        # reacting apps prefer the reacting-cloud dictionary: a case that
+        # also ships a thermo-cloud file must not silently drop the
+        # evaporation block (reference createClouds.H reads
+        # reactingCloud1Properties for this solver)
         cloud_kw, parcels, has_parcels, cloud_props = _read_cloud(
-            case_dir, kept_axes)
+            case_dir, kept_axes,
+            names=("reactingCloud1Properties", "reactingCloudProperties",
+                   "cloudProperties", "thermoCloud1Properties",
+                   "thermoCloudProperties"))
         if not cloud_props:
             # no cloud dictionary: the Eulerian reacting core alone
             return fluid, fluid.init(p0=p0, T0=T0, U0=U0, Y0=Y0, t0=t0)
@@ -480,6 +487,10 @@ def _read_two_phase(transport_props: dict, case_dir: str):
     phases = d.get("phases", ["water", "air"])
     if not isinstance(phases, list):
         phases = [str(phases), "air"]
+    if len(phases) < 2:
+        raise ValueError(
+            f"case {case_dir}: transportProperties `phases {tuple(phases)}` "
+            "must name two phases (e.g. `phases (water air);`)")
     p1, p2 = str(phases[0]), str(phases[1])
 
     def phase(name, default_nu, default_rho):
@@ -517,7 +528,9 @@ def _read_two_phase(transport_props: dict, case_dir: str):
                               c_alpha=c_alpha), p1
 
 
-def _read_cloud(case_dir: str, kept_axes):
+def _read_cloud(case_dir: str, kept_axes,
+                names=("thermoCloud1Properties", "thermoCloudProperties",
+                       "cloudProperties", "reactingCloud1Properties")):
     """constant/*CloudProperties -> (ThermoCloud kwargs, initial parcels,
     has_real_parcels, raw properties dict).
 
@@ -531,8 +544,7 @@ def _read_cloud(case_dir: str, kept_axes):
     import numpy as np
 
     props = {}
-    for name in ("thermoCloud1Properties", "thermoCloudProperties",
-                 "cloudProperties", "reactingCloud1Properties"):
+    for name in names:
         p = os.path.join(case_dir, "constant", name)
         if os.path.exists(p):
             props = foamdict.parse_file(p)

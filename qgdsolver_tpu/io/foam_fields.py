@@ -192,11 +192,17 @@ def parse_block_mesh(bmd: dict):
         # coverage over the segment grid; uncovered segments become the
         # dead-cell (solid) mask — L-shaped unions (backward-facing steps)
         # run as stairstep immersed walls (core.solid.StairstepSolid)
-        nseg = [len(p) - 1 for p in seg_pts]
+        # wedge: the swept axis collapses to zero segments, which would make
+        # `covered` empty and silence both guards below — clamp it to one
+        # segment so overlap/dead-cell detection works on the kept axes
+        nseg = [max(len(p) - 1, 1) for p in seg_pts]
         covered = np.zeros(nseg, dtype=int)
         for blo, bhi, cnt, grd in block_ext:
             idx = []
             for ax in range(3):
+                if wedge and ax == 2:
+                    idx.append(slice(0, 1))
+                    continue
                 k0 = _seg_index(seg_pts[ax], blo[ax])
                 k1 = max(_seg_index(seg_pts[ax], bhi[ax]), k0 + 1)
                 idx.append(slice(k0, k1))

@@ -159,7 +159,9 @@ def state_fields(solver, state) -> dict:
             out[sp.name] = state.Y[i]
         return out
     if isinstance(solver, inter_qhd.InterQHDFoam):
-        return {"U": state.U, "p": state.p, "alpha.water": state.alpha1}
+        # the phase-fraction file is named after the case's phase1
+        # (ingestion threads the resolved name through solver.alpha_field)
+        return {"U": state.U, "p": state.p, solver.alpha_field: state.alpha1}
     raise TypeError(f"no field mapping for {type(solver).__name__}")
 
 
@@ -170,16 +172,7 @@ def write_state(case_dir: str, solver, state, time_name=None) -> str:
         tv = state.t if hasattr(state, "t") else state.fluid.t
         t = float(np.asarray(tv))
         time_name = ("%d" % int(t)) if t == int(t) else ("%.6g" % t)
-    fields = {}
-    for name, arr in state_fields(solver, state).items():
-        if name == "alpha.water" and not os.path.exists(
-                os.path.join(case_dir, "0", name)):
-            # the phase-fraction file is named after the case's phase1
-            cands = [f for f in os.listdir(os.path.join(case_dir, "0"))
-                     if f.startswith("alpha")]
-            if cands:
-                name = cands[0]
-        fields[name] = arr
+    fields = dict(state_fields(solver, state).items())
     # every prognostic field is written (Ydefault-templated species
     # included) or write_time_dir raises — never silently dropped
     return write_time_dir(case_dir, time_name, fields)

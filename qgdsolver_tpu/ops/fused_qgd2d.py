@@ -243,12 +243,17 @@ def _value_is_static(v, mesh, a, side) -> bool:
     must NOT reach the fused kernel, which would silently freeze it."""
     if not callable(v):
         return True
+    # three pairwise-incommensurate sample times: a periodic profile whose
+    # period divides one gap cannot divide the others too, so coincidental
+    # equality at all three is implausible
     try:
         va = _eval_static_value(v, mesh, a, side, t=0.0)
-        vb = _eval_static_value(v, mesh, a, side, t=0.7853981633974483)
+        vb = _eval_static_value(v, mesh, a, side, t=0.3183098861837907)
+        vc = _eval_static_value(v, mesh, a, side, t=1.4142135623730951)
     except Exception:  # noqa: BLE001 — be conservative on odd specs
         return False
-    return np.array_equal(np.asarray(va), np.asarray(vb))
+    return (np.array_equal(np.asarray(va), np.asarray(vb))
+            and np.array_equal(np.asarray(va), np.asarray(vc)))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1426,7 +1431,7 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
                           lambda i: (jnp.minimum((i + 1) * sb8, nb8 - 1), 0),
                           memory_space=vm)
     g_spec = pl.BlockSpec((8, Wp), lambda i: (0, 0), memory_space=vm)
-    bc_specs = [pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+    bc_specs = [pl.BlockSpec(arr.shape, lambda i, nd=arr.ndim: (0,) * nd,
                              memory_space=vm) for arr in bc_inputs]
     fshape = jax.ShapeDtypeStruct((nx, Wp), dtype)
     gshape = jax.ShapeDtypeStruct((8, Wp), dtype)

@@ -66,6 +66,10 @@ class InterQHDFoam:
     # alpha1 <- (1-c)*alpha1 + c*faceAverage(alpha1), nSmoothIters times
     smooth_alpha: bool = False
     n_smooth_iters: int = 1
+    # OpenFOAM field-file name of the phase-1 fraction ("alpha.<phase1>");
+    # ingestion sets it to the case's actual file so write->resume
+    # roundtrips keep the right filename for non-water phase pairs
+    alpha_field: str = "alpha.water"
     smooth_coeff: float = 0.5
 
     def _bcs(self):
