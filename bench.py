@@ -188,7 +188,11 @@ def main():
         print(json.dumps(out), flush=True)
 
     # --- weak-scaling proxy (8 virtual CPU devices, bench-scale tile) -----
-    if time.perf_counter() - t_start < 500:
+    # primary row: the production shard_map path (build_spmd_step, explicit
+    # ppermute halos) on the plain jet; extras: the same path on the
+    # FLAGSHIP varScModel5+qgdFlux config, and the GSPMD auto-partitioned
+    # fallback (the diagnostic that recorded 0.45 in r3)
+    if time.perf_counter() - t_start < 480:
         try:
             from qgdsolver_tpu.parallel import sharding as shd
             from qgdsolver_tpu.parallel import distributed as dist
@@ -196,13 +200,22 @@ def main():
             cpu = jax.devices("cpu")
             if len(cpu) >= 8:
                 dmesh = shd.make_device_mesh(cpu[:8])
-                rep = dist.measure_scaling(
-                    lambda shape: cases.supersonic_jet(
-                        shape=shape, dtype=np.float32),
-                    dmesh, n_steps=10, repeats=2, base=(256, 256),
-                    shared_cores=True)
-                out["cpu8_weak_scaling_efficiency"] = round(
-                    rep["weak_scaling_efficiency"], 4)
+
+                def ws(maker, path):
+                    rep = dist.measure_scaling(
+                        lambda shape: maker(shape=shape, dtype=np.float32),
+                        dmesh, n_steps=10, repeats=2, base=(256, 256),
+                        shared_cores=True, path=path)
+                    return round(rep["weak_scaling_efficiency"], 4)
+
+                out["cpu8_weak_scaling_efficiency"] = ws(
+                    cases.supersonic_jet, "spmd")
+                if time.perf_counter() - t_start < 480:
+                    out["cpu8_weak_scaling_varsc"] = ws(
+                        cases.supersonic_jet_varsc, "spmd")
+                if time.perf_counter() - t_start < 480:
+                    out["cpu8_weak_scaling_gspmd"] = ws(
+                        cases.supersonic_jet, "gspmd")
         except Exception as e:  # noqa: BLE001
             out["weak_scaling_error"] = _err(e)
             traceback.print_exc(file=sys.stderr)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..core.mesh import Mesh
 from ..core import bc as bcm
+from ..parallel import spmd
 from . import fvsc
 
 
@@ -34,7 +35,9 @@ class CGResult:
 
 
 def _dot(a, b):
-    return jnp.sum(a * b)
+    """Inner product — a psum over the device mesh under an spmd context
+    (the distributed-CG reduction of OpenFOAM's parallel PCG)."""
+    return spmd.all_sum(jnp.sum(a * b))
 
 
 def cg(matvec, b, x0, *, tol=1e-7, maxiter=1000, precond=None, project=None):
@@ -59,12 +62,14 @@ def cg(matvec, b, x0, *, tol=1e-7, maxiter=1000, precond=None, project=None):
     norm_b = jnp.sqrt(_dot(b, b))
     norm_b = jnp.where(norm_b > 0, norm_b, 1.0)
 
+    # |r|^2 is computed in the BODY and carried, so the while cond stays
+    # collective-free (required for psum-bearing dots under shard_map)
     def cond(carry):
-        x, r, z, p_, rz, it = carry
-        return jnp.logical_and(jnp.sqrt(_dot(r, r)) > tol * norm_b, it < maxiter)
+        x, r, z, p_, rz, rr, it = carry
+        return jnp.logical_and(rr > jnp.square(tol * norm_b), it < maxiter)
 
     def body(carry):
-        x, r, z, p_, rz, it = carry
+        x, r, z, p_, rz, rr, it = carry
         Ap = matvec(p_)
         if project is not None:
             Ap = project(Ap)
@@ -75,13 +80,13 @@ def cg(matvec, b, x0, *, tol=1e-7, maxiter=1000, precond=None, project=None):
         rz_new = _dot(r, z)
         beta = rz_new / jnp.maximum(rz, jnp.finfo(b.dtype).tiny)
         p_ = z + beta * p_
-        return (x, r, z, p_, rz_new, it + 1)
+        return (x, r, z, p_, rz_new, _dot(r, r), it + 1)
 
-    init = (x0, r0, z0, z0, _dot(r0, z0), jnp.asarray(0))
-    x, r, _, _, _, it = jax.lax.while_loop(cond, body, init)
+    init = (x0, r0, z0, z0, _dot(r0, z0), _dot(r0, r0), jnp.asarray(0))
+    x, r, _, _, _, rr, it = jax.lax.while_loop(cond, body, init)
     if project is not None:
         x = project(x)
-    return CGResult(x=x, iters=it, residual=jnp.sqrt(_dot(r, r)) / norm_b)
+    return CGResult(x=x, iters=it, residual=jnp.sqrt(rr) / norm_b)
 
 
 # ---------------------------------------------------------------------------
@@ -151,10 +156,10 @@ def solve_helmholtz(*, diag_coeff, gamma_faces, rhs, x0, bcs, mesh: Mesh,
     project = None
     if singular:
         vol = jnp.broadcast_to(mesh.cell_volume, mesh.shape)
-        vtot = jnp.sum(vol)
+        vtot = spmd.all_sum(jnp.sum(vol))
 
         def project(f):  # noqa: F811 — volume-weighted mean removal
-            return f - jnp.sum(f * vol) / vtot
+            return f - spmd.all_sum(jnp.sum(f * vol)) / vtot
 
     return cg(matvec, b, x0, tol=tol, maxiter=maxiter, precond=precond,
               project=project)

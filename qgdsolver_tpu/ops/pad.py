@@ -6,6 +6,13 @@ diagonal ghost cells needed by the vertex (full) gradient stencil come out
 consistent — this replaces the reference's MPI "corner process" discovery
 machinery (extendedFaceStencilFindNeighbours_8C.html:305-612) with two/three
 ordered pads, which under sharding lower to ordinary XLA halo exchanges.
+
+Under an active `parallel.spmd` context (a shard_map-decomposed step) each
+sharded axis' ghost layer is fetched from the neighbour shard via
+jax.lax.ppermute, and the physical-BC layer is applied only on the shards
+that own the global boundary; the sequential-axis ordering then transports
+diagonal corner ghosts across shard corners in two hops, exactly like the
+serial corner construction (and the reference's corner-process exchange).
 """
 from __future__ import annotations
 
@@ -13,6 +20,7 @@ import jax.numpy as jnp
 
 from ..core import bc as bcm
 from ..core.mesh import Mesh
+from ..parallel import spmd
 
 
 def _spatial_axis(arr_ndim: int, mesh_ndim: int, a: int) -> int:
@@ -59,7 +67,11 @@ def _eval_bc_value(v, t, coords, vector, ncomp, layer_ndim):
 
 
 def _ghost_layers(bc_lo, bc_hi, arr, mesh, a, t, vector):
-    """(lo, hi) ghost layers (size-1 along the padded axis) for mesh axis a."""
+    """(lo, hi) ghost layers (size-1 along the padded axis) for mesh axis a.
+
+    With an active spmd context and axis `a` sharded, the physical-BC layers
+    computed here are kept only on the global-boundary shards; interior
+    partition edges take the neighbour shard's edge layer via ppermute."""
     nd = mesh.ndim
     ax = _spatial_axis(arr.ndim, nd, a)
     i_lo = _sl(arr, ax, slice(0, 1))
@@ -67,12 +79,22 @@ def _ghost_layers(bc_lo, bc_hi, arr, mesh, a, t, vector):
     dx_lo = mesh.dx[a][0]
     dx_hi = mesh.dx[a][-1]
     ncomp = arr.shape[0] if vector else 0
+    ctx = spmd.current()
+    sharded = ctx is not None and ctx.sharded(a)
+    # BC value callables see the GLOBAL boundary coordinates (each shard's
+    # local mesh carries shard-0 coordinates only); the evaluated layer is
+    # then windowed to the shard
+    cmesh = ctx.global_mesh if (ctx is not None
+                                and ctx.global_mesh is not None) else mesh
+
+    def ev(raw, side, interior):
+        coords = _layer_coords(cmesh, a, side)
+        v = _eval_bc_value(raw, t, coords, vector, ncomp, interior.ndim)
+        return spmd.localize_layer(v, a, nd)
 
     def one(bc, side, interior, other_interior, dx, near2):
         if isinstance(bc, bcm.FixedValue):
-            coords = _layer_coords(mesh, a, side)
-            v = _eval_bc_value(bc.value, t, coords, vector, ncomp, interior.ndim)
-            return 2.0 * v - interior
+            return 2.0 * ev(bc.value, side, interior) - interior
         if isinstance(bc, bcm.ZeroGradient):
             return interior
         if isinstance(bc, bcm.Symmetry):
@@ -81,25 +103,29 @@ def _ghost_layers(bc_lo, bc_hi, arr, mesh, a, t, vector):
                 return interior * sign.reshape((ncomp,) + (1,) * (interior.ndim - 1))
             return interior
         if isinstance(bc, bcm.FixedGradient):
-            coords = _layer_coords(mesh, a, side)
-            g = _eval_bc_value(bc.grad, t, coords, vector, ncomp, interior.ndim)
-            return interior + g * dx
+            return interior + ev(bc.grad, side, interior) * dx
         if isinstance(bc, bcm.Periodic):
             return other_interior
         if isinstance(bc, bcm.Extrapolated):
             return 2.0 * interior - near2
         if isinstance(bc, bcm.FluxSwitched):
-            coords = _layer_coords(mesh, a, side)
-            v = _eval_bc_value(bc.value, t, coords, vector, ncomp, interior.ndim)
+            v = ev(bc.value, side, interior)
             # the outflow mask lives on the unpadded mesh; axes < a already
-            # carry ghosts here, so edge-replicate the mask to match
-            mask = jnp.asarray(bc.outflow)
+            # carry ghosts here, so extend the mask to match: neighbour
+            # values across sharded partition edges, edge-replication at
+            # physical boundaries (serial parity in the corner ghosts)
+            mask = spmd.localize_layer(jnp.asarray(bc.outflow), a, nd)
             for b in range(a):
                 axb = _spatial_axis(mask.ndim, mesh.ndim, b)
                 if mask.shape[axb] == 1:
                     continue
                 first = jnp.take(mask, jnp.asarray([0]), axis=axb)
                 last = jnp.take(mask, jnp.asarray([-1]), axis=axb)
+                if ctx is not None and ctx.sharded(b):
+                    prev_m, next_m, b_lo, b_hi = spmd.halo_layers(
+                        mask, axb, b, periodic=False)
+                    first = jnp.where(b_lo, first, prev_m)
+                    last = jnp.where(b_hi, last, next_m)
                 mask = jnp.concatenate([first, mask, last], axis=axb)
             return jnp.where(mask, interior, 2.0 * v - interior)
         if isinstance(bc, bcm.InletOutlet):
@@ -110,6 +136,16 @@ def _ghost_layers(bc_lo, bc_hi, arr, mesh, a, t, vector):
 
     lo = one(bc_lo, 0, i_lo, i_hi, dx_lo, _sl(arr, ax, slice(1, 2)))
     hi = one(bc_hi, 1, i_hi, i_lo, dx_hi, _sl(arr, ax, slice(-2, -1)))
+    if sharded:
+        periodic = isinstance(bc_lo, bcm.Periodic)
+        from_prev, from_next, is_lo, is_hi = spmd.halo_layers(
+            arr, ax, a, periodic=periodic)
+        if periodic:
+            # the global wraparound IS the neighbour exchange
+            lo, hi = from_prev, from_next
+        else:
+            lo = jnp.where(is_lo, lo, from_prev)
+            hi = jnp.where(is_hi, hi, from_next)
     return lo, hi, ax
 
 

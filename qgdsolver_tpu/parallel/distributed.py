@@ -72,13 +72,20 @@ def host_mesh(axis_names=("X", "Y")):
 
 def measure_scaling(solver_factory, dmesh, n_steps: int = 50,
                     repeats: int = 2, base=(256, 256),
-                    shared_cores: bool = False):
+                    shared_cores: bool = False, path: str = "spmd"):
     """Weak-scaling figure over `dmesh`.
 
     solver_factory(shape) -> (solver, state); the global shape is
     base * mesh shape, so points-per-device stays fixed at `base` (256^2
     default — bench scale, where the halo/compute ratio, not per-step
     dispatch, sets the figure).
+
+    path: "spmd" (default) runs the production shard_map decomposition
+    (`sharding.build_spmd_step`: one explicit ppermute halo pair per padded
+    axis, pmax/pmin reductions); "gspmd" runs the auto-partitioned jit
+    fallback (`sharding.sharded_step`), which re-partitions the
+    ghost-concatenated arrays every pad — kept measurable as the diagnostic
+    that motivated the spmd path (r3 recorded 0.45 efficiency on it).
 
     shared_cores=False (real chips): per-device throughput of the sharded
     run vs a 1-device run of the `base` tile — the BASELINE.md weak-scaling
@@ -118,8 +125,12 @@ def measure_scaling(solver_factory, dmesh, n_steps: int = 50,
     pps1 = run(solver1, state1, solver1.make_step())
 
     solverN, stateN = solver_factory(shape_n)
-    sstate = shd.shard_state(stateN, 2, dmesh)
-    stepN = shd.sharded_step(solverN.make_step(), sstate, 2, dmesh)
+    if path == "spmd":
+        stepN, to_spmd = shd.build_spmd_step(solverN, dmesh, stateN)
+        sstate = to_spmd(stateN)
+    else:
+        sstate = shd.shard_state(stateN, 2, dmesh)
+        stepN = shd.sharded_step(solverN.make_step(), sstate, 2, dmesh)
     ppsN = run(solverN, sstate, stepN)
 
     n_dev = px * py

@@ -18,6 +18,7 @@ axes ARE the decomposition.
 from __future__ import annotations
 
 import math
+import typing as tp
 
 import jax
 import numpy as np
@@ -79,6 +80,149 @@ def sharded_step(step_fn, state, mesh_ndim: int, dmesh: DeviceMesh):
     latency-hiding scheduler overlaps them with interior compute (the
     TPU-native analogue of the reference's nonblocking PstreamBuffers
     exchanges, extendedFaceStencilScalarGrad_8C_source.html:122-268).
+
+    NOTE: GSPMD re-partitions the ghost-concatenated arrays every pad — use
+    `build_spmd_step` (explicit shard_map halos) for production multi-chip
+    runs; this wrapper remains as the any-solver fallback.
     """
     sh = state_shardings(state, mesh_ndim, dmesh)
     return jax.jit(step_fn, in_shardings=(sh,), out_shardings=sh)
+
+
+# ---------------------------------------------------------------------------
+# shard_map decomposition of the composable step (production multi-chip path)
+# ---------------------------------------------------------------------------
+
+
+def spmd_supported(solver) -> tp.Optional[str]:
+    """None if `build_spmd_step` can decompose this solver; else the reason.
+
+    The spmd path requires translation-invariant local metrics (uniform
+    spacing along decomposed axes) and no globally-indexed cell masks."""
+    mesh = solver.mesh
+    if getattr(mesh, "axisymmetric", False):
+        return "axisymmetric (wedge) meshes use global radial metrics"
+    if getattr(mesh, "solid", None) is not None:
+        return "stairstep solid masks are globally indexed"
+    for a in range(mesh.ndim):
+        d = mesh.dx[a]
+        if not np.allclose(d, d[0]):
+            return f"non-uniform spacing along axis {a}"
+    tm = getattr(solver, "tau_model", None)
+    if tm is not None:
+        if getattr(tm, "const_sc_mask", None) is not None:
+            return "varScModel5 const-Sc cellSet is globally indexed"
+        cq = getattr(tm, "cqSc", 0.0)
+        if hasattr(cq, "ndim") and getattr(cq, "ndim", 0) > 0:
+            return "per-cell cqSc floor is globally indexed"
+    if (getattr(solver, "mesh_scale", None) is not None
+            or getattr(solver, "mesh_velocity", None) is not None):
+        return "deforming meshes (DyM) use global face coordinates"
+    from ..solvers import particles as prt
+
+    if isinstance(solver, (prt.ParticlesQGDFoam, prt.ParticlesQHDFoam,
+                           prt.ReactingLagrangianQGDFoam)):
+        return "Lagrangian parcels index the global mesh"
+    return None
+
+
+def build_spmd_step(solver, dmesh: DeviceMesh, state,
+                    step_fn_name: str = "make_step", **step_kwargs):
+    """Decompose a solver's composable step over a device mesh via shard_map.
+
+    The TPU-native `decomposePar + mpirun <solver>` (SURVEY.md §2.4): the
+    solver is rebuilt on a local block mesh and its UNMODIFIED `make_step()`
+    is traced inside `shard_map` under an active `parallel.spmd` context —
+    `ops.pad.ghost_pad` then fetches partition-edge ghosts from neighbour
+    shards via ppermute (axis-sequential, corners in two hops exactly like
+    the reference's corner-process exchange,
+    extendedFaceStencilFindNeighbours_8C_source.html:305-612) and the
+    Courant/CG/smooth reductions become pmax/pmin/psum collectives.
+
+    `state` is a template pytree used to derive per-leaf PartitionSpecs:
+    spatial leaves shard over (X, Y[, ...]); boundary-row leaves (size-1
+    normal axis, e.g. the lagged qgdFlux gradients) shard tangentially and
+    replicate over the normal mesh axis; scalars replicate.
+
+    Returns (step, to_spmd): `step` is the jitted global-array step;
+    `to_spmd` places a state pytree onto the device mesh.
+    """
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..core.mesh import Mesh
+    from . import spmd
+
+    reason = spmd_supported(solver)
+    if reason is not None:
+        raise NotImplementedError(f"spmd decomposition unsupported: {reason}")
+
+    mesh = solver.mesh
+    nd = mesh.ndim
+    names = list(dmesh.axis_names)
+    axes = []
+    local_faces = []
+    for a in range(nd):
+        name = names[a] if a < len(names) else None
+        size = int(dmesh.shape[name]) if name is not None else 1
+        n = mesh.shape[a]
+        if size > 1:
+            if n % size:
+                raise ValueError(
+                    f"axis {a}: {n} cells not divisible by {size} shards")
+            nloc = n // size
+            axes.append(spmd.AxisShard(name=name, size=size, n_local=nloc))
+        else:
+            nloc = n
+            axes.append(None)
+        local_faces.append(mesh.x_faces[a][: nloc + 1])
+    ctx = spmd.SpmdContext(axes=tuple(axes), global_shape=tuple(mesh.shape),
+                           global_mesh=mesh)
+
+    import dataclasses as dc
+
+    local_mesh = Mesh(x_faces=tuple(local_faces), dtype=mesh.dtype)
+    local_solver = dc.replace(solver, mesh=local_mesh)
+    local_step = getattr(local_solver, step_fn_name)(**step_kwargs)
+
+    def spec_for(leaf):
+        leaf = jax.numpy.asarray(leaf)
+        if leaf.ndim < nd:
+            return P()
+        lead = [None] * (leaf.ndim - nd)
+        spat = []
+        for a in range(nd):
+            ax = axes[a]
+            n_leaf = leaf.shape[leaf.ndim - nd + a]
+            if ax is None or n_leaf == 1:
+                spat.append(None)
+            elif n_leaf == mesh.shape[a]:
+                spat.append(ax.name)
+            else:
+                raise ValueError(
+                    f"state leaf with extent {n_leaf} along axis {a} "
+                    f"(global {mesh.shape[a]}) has no spmd decomposition")
+        return P(*(lead + spat))
+
+    specs = jax.tree_util.tree_map(spec_for, state)
+
+    def body(s):
+        with spmd.active(ctx):
+            return local_step(s)
+
+    try:  # jax >= 0.8 renamed check_rep -> check_vma
+        wrapped = shard_map(body, mesh=dmesh, in_specs=(specs,),
+                            out_specs=specs, check_vma=False)
+    except TypeError:
+        wrapped = shard_map(body, mesh=dmesh, in_specs=(specs,),
+                            out_specs=specs, check_rep=False)
+    step = jax.jit(wrapped)
+
+    def to_spmd(s):
+        sh = jax.tree_util.tree_map(
+            lambda sp: NamedSharding(dmesh, sp), specs)
+        return jax.tree_util.tree_map(
+            lambda x, shx: jax.device_put(jax.numpy.asarray(x), shx), s, sh)
+
+    return step, to_spmd

@@ -180,16 +180,24 @@ class T0byGr(TauModel):
 
 def _neighbour_max(field):
     """Max over the face neighbours of each cell (edge-replicated at
-    boundaries, which is a no-op for the smoothing update below)."""
+    boundaries, which is a no-op for the smoothing update below).  Under an
+    spmd context, partition-edge neighbours come from the adjacent shard
+    via ppermute (the FaceCellWave crossing processor patches)."""
+    from ..parallel import spmd
+
+    ctx = spmd.current()
     nd = field.ndim
     nb = field
     for a in range(nd):
-        lo = jnp.concatenate(
-            [jnp.take(field, jnp.asarray([0]), axis=a), field], axis=a
-        )
-        hi = jnp.concatenate(
-            [field, jnp.take(field, jnp.asarray([-1]), axis=a)], axis=a
-        )
+        first = jnp.take(field, jnp.asarray([0]), axis=a)
+        last = jnp.take(field, jnp.asarray([-1]), axis=a)
+        if ctx is not None and ctx.sharded(a):
+            prev_l, next_l, is_lo, is_hi = spmd.halo_layers(
+                field, a, a, periodic=False)
+            first = jnp.where(is_lo, first, prev_l)
+            last = jnp.where(is_hi, last, next_l)
+        lo = jnp.concatenate([first, field], axis=a)
+        hi = jnp.concatenate([field, last], axis=a)
         sl_lo = [slice(None)] * nd
         sl_lo[a] = slice(0, -1)
         sl_hi = [slice(None)] * nd
@@ -212,12 +220,17 @@ def fvc_smooth(field, coeff, max_iters: int = 10_000):
     Replaces the reference varScModel5's sensor smoothing
     (varScModel5_8C_source.html:232) with identical numerics.
     """
+    from ..parallel import spmd
+
     max_ratio = 1.0 + coeff
 
     def body(carry):
         f, _, it = carry
         fn = jnp.maximum(f, _neighbour_max(f) / max_ratio)
-        return fn, jnp.any(fn > f), it + 1
+        # the termination test is GLOBAL under spmd (all shards must agree
+        # on the fixed point — computed in the body so the while cond stays
+        # collective-free)
+        return fn, spmd.all_any(jnp.any(fn > f)), it + 1
 
     def cond(carry):
         _, changed, it = carry

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..core import bc as bcm
 from ..core.mesh import Mesh
+from ..parallel import spmd
 
 SMALL = 1e-30
 
@@ -90,13 +91,16 @@ def face_normal_speed(Uf_a, axis: int):
 
 def courant_acoustic(Uf, cf, dt, mesh: Mesh):
     """QGD acoustic Courant: max over faces of max(|Un+c|,|Un-c|)*dt/h_f
-    (QGDCourantNo_8H_source.html:44-50)."""
+    (QGDCourantNo_8H_source.html:44-50).  The max is global under an spmd
+    context (the reference's `max()` gMax reduction,
+    QGDCourantNo_8H_source.html:50); partition-edge faces are counted by
+    both owning shards — idempotent for max."""
     co = 0.0
     for a in range(mesh.ndim):
         un = face_normal_speed(Uf[a], a)
         wave = jnp.maximum(jnp.abs(un + cf[a]), jnp.abs(un - cf[a]))
         co = jnp.maximum(co, jnp.max(wave * dt / mesh.h_face(a)))
-    return co
+    return spmd.all_max(co)
 
 
 def courant_advective(Uf, dt, mesh: Mesh):
@@ -106,7 +110,7 @@ def courant_advective(Uf, dt, mesh: Mesh):
     for a in range(mesh.ndim):
         un = jnp.abs(face_normal_speed(Uf[a], a))
         co = jnp.maximum(co, jnp.max(un * dt / mesh.h_face(a)))
-    return co
+    return spmd.all_max(co)
 
 
 def courant_mag(Uf, dt, mesh: Mesh):
@@ -116,11 +120,11 @@ def courant_mag(Uf, dt, mesh: Mesh):
     for a in range(mesh.ndim):
         mag = jnp.sqrt(jnp.sum(jnp.square(Uf[a]), axis=0))
         co = jnp.maximum(co, jnp.max(mag * dt / mesh.h_face(a)))
-    return co
+    return spmd.all_max(co)
 
 
 def tau_f_min(tau_f):
-    return jnp.min(jnp.asarray([jnp.min(tf) for tf in tau_f]))
+    return spmd.all_min(jnp.min(jnp.asarray([jnp.min(tf) for tf in tau_f])))
 
 
 # ---------------------------------------------------------------------------

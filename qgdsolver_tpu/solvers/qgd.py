@@ -431,7 +431,10 @@ class QGDFoam:
                 ar = jnp.broadcast_to(area[a] * jnp.ones_like(tau_f[a]),
                                       tau_f[a].shape)
                 arb = jnp.take(ar, jnp.asarray([idx]), axis=ax)
-                pbc_new.append(-sign * ws / (tf * arb))
+                # under spmd decomposition only the global-edge shard's row
+                # is physical; broadcast it into the replicated carry
+                pbc_new.append(common.spmd.edge_shard_value(
+                    -sign * ws / (tf * arb), a, side))
 
             return State(rho=rho_new, rhoU=rhoU_new, rhoE=rhoE_new,
                          sc=coeffs.sc, t=t + dt_new, dt=dt_new,

@@ -302,8 +302,10 @@ class QHDFoam:
             )
             p_new = res.x
             if singular:
-                # reference-cell fix (QHDFoam_8C:123-131), cell (0,...,0)
-                p_new = p_new + (self.p_ref_value - p_new[(0,) * nd])
+                # reference-cell fix (QHDFoam_8C:123-131), cell (0,...,0) —
+                # under spmd decomposition the GLOBAL corner shard owns it
+                p_ref = common.spmd.first_shard_value(p_new[(0,) * nd])
+                p_new = p_new + (self.p_ref_value - p_ref)
 
             # phi = phiu - phiwo + pEqn.flux()  (QHDpEqn_8H:47); under
             # deformation the laplacian face flux is sp_new*gam_p*A_log*snp
@@ -419,8 +421,8 @@ class QHDFoam:
                 # ---- MULESTEqn.H (mulesQHDFoam_8C:128-134): bounded
                 # explicit advection with global gMax/gMin bounds, then
                 # implicit diffusion correction (MULESTEqn_8H:41-64)
-                t_max = jnp.max(T)
-                t_min = jnp.min(T)
+                t_max = common.spmd.all_max(jnp.max(T))
+                t_min = common.spmd.all_min(jnp.min(T))
                 T_adv, _ = mules.explicit_solve(
                     T, phi, phiTf, dt_new, mesh, t_max, t_min,
                     n_iter=self.mules_n_iter,
