@@ -108,14 +108,14 @@ def compile_smoke():
             solver, slab_rows=slab)
         return step, to_f(state)
 
-    def sharded():
+    def sharded(varsc=False):
         from qgdsolver_tpu.parallel import sharding as shd
 
         devs = jax.devices()
         px = 2 if len(devs) >= 2 else 1
         dmesh = shd.make_device_mesh(devs[:px])
-        solver, state = cases.supersonic_jet(shape=(256, 128),
-                                             dtype=np.float32)
+        maker = cases.supersonic_jet_varsc if varsc else cases.supersonic_jet
+        solver, state = maker(shape=(256, 128), dtype=np.float32)
         step, to_s, _ = fused_qgd2d.build_sharded_fused_step(solver, dmesh)
         return step, to_s(state)
 
@@ -130,6 +130,7 @@ def compile_smoke():
     ok &= check("tiled_plain", lambda: tiled((4096, 2048), False))
     ok &= check("tiled_varsc", lambda: tiled((4096, 2048), True))
     ok &= check("sharded", sharded)
+    ok &= check("sharded_varsc", lambda: sharded(varsc=True))
     return ok, report
 
 

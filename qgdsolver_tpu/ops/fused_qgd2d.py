@@ -141,9 +141,11 @@ def whole_frame_viable(solver) -> bool:
 def supported(solver, sharded: bool = False) -> bool:
     """True if this solver config can run on the fused kernel.
 
-    sharded=True additionally restricts to the constScPr family with no
-    qgdFlux sides and whole-frame VMEM residency (the shard_map wrapper has
-    no slab pipeline and no global sensor pre-pass).
+    sharded=True answers for the shard_map wrapper
+    (build_sharded_fused_step), which covers the full fused config space —
+    including the FLAGSHIP varScModel5 + qgdFlux (sensor pre-pass under the
+    spmd context, in-kernel flux rows on the owning edge shard); per-shard
+    VMEM feasibility is asserted at build time against the local block.
     """
     from ..solvers.qgd import QGDFoam
 
@@ -195,11 +197,11 @@ def supported(solver, sharded: bool = False) -> bool:
                 if raw is not None and not _value_is_static(raw, mesh, a,
                                                             side):
                     return False  # time-dependent BC: composable only
-    if sharded:
-        # per-shard VMEM feasibility is checked by build_sharded_fused_step
-        # against the LOCAL block dims (the global frame never materialises)
-        if isinstance(tm, VarScModel5) or solver._flux_sides():
-            return False
+    # sharded=True: per-shard VMEM feasibility is checked by
+    # build_sharded_fused_step against the LOCAL block dims (the global
+    # frame never materialises); varScModel5 runs its sensor pre-pass
+    # inside the shard body under the spmd context, and qgdFlux rows are
+    # computed in-kernel on the owning edge shard — no extra restriction
     return True
 
 
@@ -499,12 +501,6 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
     flux_sides = solver._flux_sides()
     qf_lo = (0, 0) in flux_sides
     qf_hi = (0, 1) in flux_sides
-    if has_varsc or flux_sides:
-        # the x-slab tiled pipeline (build_tiled_fused_step) supports both
-        # (sc comes from the global XLA pre-pass; qgdFlux rows are edge
-        # slabs); the shard_map wrapper does not
-        assert not (_distributed and not _tiled), \
-            "sharded fused path supports constScPr + simple BCs only"
 
     specs, bc_inputs_np = _compile_bcs(solver, mesh, Wp,
                                        nr=None if _distributed else NR,
@@ -1047,8 +1043,13 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
       blocks, sharded P(X, Y, None, None).
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..core.mesh import Mesh
+    from ..parallel import spmd
     from ..solvers.qgd import State
     from ..ops.pad import ghost_pad
 
@@ -1057,6 +1058,8 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
     th = solver.thermo
     tm = solver.tau_model
     tc = solver.time
+    has_varsc = isinstance(tm, VarScModel5)
+    flux_sides = solver._flux_sides()
     nx, ny = mesh.shape
     px = dmesh.shape[axis_name]
     py = dmesh.shape.get(axis_name_y, 1) if hasattr(dmesh.shape, "get") \
@@ -1064,7 +1067,7 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
     assert nx % px == 0, (nx, px)
     assert ny % py == 0, (ny, py)
     nxl, nyl = nx // px, ny // py
-    assert fits_vmem(nxl, nyl), \
+    assert fits_vmem(nxl, nyl, n_state=5 if has_varsc else 4), \
         "per-shard block exceeds the whole-frame VMEM live-set budget"
     NRl = nxl + 2
     Ml = nyl
@@ -1073,6 +1076,17 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
     dtype = np.dtype(mesh.dtype)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
+
+    # local block mesh + spmd context for the XLA pre-passes that run
+    # INSIDE the shard body (the varScModel5 sensor's cell gradient and
+    # global fvc::smooth fixed point)
+    local_mesh = Mesh(x_faces=(mesh.x_faces[0][: nxl + 1],
+                               mesh.x_faces[1][: nyl + 1]), dtype=mesh.dtype)
+    sctx = spmd.SpmdContext(
+        axes=(spmd.AxisShard(axis_name, px, nxl) if px > 1 else None,
+              spmd.AxisShard(axis_name_y, py, nyl) if py > 1 else None),
+        global_shape=(nx, ny), global_mesh=mesh)
+    zg2 = bcm.FieldBCs.uniform(bcm.ZeroGradient(), 2)
 
     pcall = build_fused_step(solver, interpret=interpret, _local_nx=nxl,
                              _local_ny=nyl, _distributed=True,
@@ -1109,19 +1123,28 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
         co = jnp.maximum(jnp.max(wave_x) * dt / dx,
                          jnp.max(wave_y) * dt / dy)
         # tau_f with zero-gradient coefficient ghosts at PHYSICAL edges:
-        # interior halo rows/lanes already hold neighbour values
-        aoc = alpha / c
-        lo = jnp.where(is_lo, aoc[1:2], aoc[0:1])
-        hi = jnp.where(is_hi, aoc[-2:-1], aoc[-1:])
-        aoc = jnp.concatenate([lo, aoc[1:-1], hi], axis=0)
+        # interior halo rows/lanes already hold neighbour values.
+        # Convention parity with the kernel: constScPr interpolates a/c
+        # (interp(aoc)); varScModel5 interpolates c and divides
+        # (alpha/interp(c), varScModel5_8C:204-205 / kernel taufx).
+        coef = c if has_varsc else alpha / c
+        lo = jnp.where(is_lo, coef[1:2], coef[0:1])
+        hi = jnp.where(is_hi, coef[-2:-1], coef[-1:])
+        coef = jnp.concatenate([lo, coef[1:-1], hi], axis=0)
         if py > 1:
-            lo_c = jnp.where(is_lo_y, aoc[:, 1:2], aoc[:, 0:1])
-            hi_c = jnp.where(is_hi_y, aoc[:, -2:-1], aoc[:, -1:])
+            lo_c = jnp.where(is_lo_y, coef[:, 1:2], coef[:, 0:1])
+            hi_c = jnp.where(is_hi_y, coef[:, -2:-1], coef[:, -1:])
         else:
-            lo_c, hi_c = aoc[:, 1:2], aoc[:, -2:-1]
-        aoc = jnp.concatenate([lo_c, aoc[:, 1:-1], hi_c], axis=1)
-        taux = (0.5 * (aoc[:-1] + aoc[1:]) * dx)[:, 1:-1]
-        tauy = (0.5 * (aoc[:, :-1] + aoc[:, 1:]) * dy)[1:-1, :]
+            lo_c, hi_c = coef[:, 1:2], coef[:, -2:-1]
+        coef = jnp.concatenate([lo_c, coef[:, 1:-1], hi_c], axis=1)
+        fx = 0.5 * (coef[:-1] + coef[1:])
+        fy = 0.5 * (coef[:, :-1] + coef[:, 1:])
+        if has_varsc:
+            taux = ((alpha / fx) * dx)[:, 1:-1]
+            tauy = ((alpha / fy) * dy)[1:-1, :]
+        else:
+            taux = (fx * dx)[:, 1:-1]
+            tauy = (fy * dy)[1:-1, :]
         tau_min = jnp.minimum(jnp.min(taux), jnp.min(tauy))
         co = jax.lax.pmax(jax.lax.pmax(co, axis_name), axis_name_y)
         tau_min = jax.lax.pmin(jax.lax.pmin(tau_min, axis_name), axis_name_y)
@@ -1129,7 +1152,7 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
 
     colid_l = jax.lax.broadcasted_iota(jnp.int32, (NRl, Wpl), 1)
 
-    def local_step(pl_, Tl_, uxl_, uyl_, t, dt):
+    def local_step(pl_, Tl_, uxl_, uyl_, scl_, t, dt):
         p_, T_, ux_, uy_ = pl_[0, 0], Tl_[0, 0], uxl_[0, 0], uyl_[0, 0]
         ix = jax.lax.axis_index(axis_name)
         iy = jax.lax.axis_index(axis_name_y)
@@ -1149,7 +1172,26 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
                 g, (jnp.zeros((), iy.dtype), iy * nyl), (1, Wl))
             arr = jnp.zeros((1, Wpl), dtype=dtype)
             bc_loc.append(jax.lax.dynamic_update_slice(arr, win, (0, 0)))
-        outs = pcall(dts, flags, p_, T_, ux_, uy_, *bc_loc)
+        extra = ()
+        sc_frame = scl_
+        if has_varsc:
+            # varScModel5 sensor pre-pass INSIDE the shard body: the spmd
+            # context routes grad-rho ghosts and the fvc::smooth fixed
+            # point's neighbour-max + termination test across shards —
+            # VarScModel5.sc_update runs verbatim (bit-parity with serial)
+            with spmd.active(sctx):
+                rho_int = th.rho_from_p_T(p_[1:-1, 1:Ml + 1],
+                                          T_[1:-1, 1:Ml + 1])
+                sc_new = tm.sc_update(
+                    local_mesh, rho_int,
+                    scl_[0, 0][1:-1, 1:Ml + 1]).astype(dtype)
+                # frame ghosts: neighbour values at shard edges, edge
+                # replication at physical boundaries (serial _sc_frame)
+                scf = ghost_pad(sc_new, zg2, local_mesh)
+            scf = jnp.pad(scf, ((0, 0), (0, Wpl - Wl)), mode="edge")
+            sc_frame = scf[None, None]
+            extra = (scf,)
+        outs = pcall(dts, flags, p_, T_, ux_, uy_, *extra, *bc_loc)
 
         def exchange(a):
             # phase 1: halo rows over X (full width incl. current lanes)
@@ -1172,28 +1214,37 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
             return a
 
         outs = [exchange(a)[None, None] for a in outs]
-        return (*outs, t + dt_new, dt_new)
+        return (*outs, sc_frame, t + dt_new, dt_new)
 
     pspec = P(axis_name, axis_name_y, None, None)
-    sstep = shard_map(
-        local_step, mesh=dmesh,
-        in_specs=(pspec, pspec, pspec, pspec, P(), P()),
-        out_specs=(pspec, pspec, pspec, pspec, P(), P()),
-        check_rep=False,
+    sc_spec = pspec if has_varsc else P()
+    kw = dict(
+        mesh=dmesh,
+        in_specs=(pspec, pspec, pspec, pspec, sc_spec, P(), P()),
+        out_specs=(pspec, pspec, pspec, pspec, sc_spec, P(), P()),
     )
+    try:  # jax >= 0.8 renamed check_rep -> check_vma
+        sstep = shard_map(local_step, check_vma=False, **kw)
+    except TypeError:
+        sstep = shard_map(local_step, check_rep=False, **kw)
 
     def step(fs: FusedState) -> FusedState:
-        p2, T2, ux2, uy2, t2, dt2 = sstep(fs.p, fs.T, fs.ux, fs.uy,
-                                          fs.t, fs.dt)
-        return FusedState(p=p2, T=T2, ux=ux2, uy=uy2, t=t2, dt=dt2)
+        sc_in = fs.sc if has_varsc else jnp.zeros((), dtype=dtype)
+        p2, T2, ux2, uy2, sc2, t2, dt2 = sstep(fs.p, fs.T, fs.ux, fs.uy,
+                                               sc_in, fs.t, fs.dt)
+        return FusedState(p=p2, T=T2, ux=ux2, uy=uy2, t=t2, dt=dt2,
+                          sc=sc2 if has_varsc else None)
 
     # ---- conversions --------------------------------------------------------
     bc_U, bc_p, bc_T = solver._bcs()
 
     def to_sharded(s: State) -> FusedState:
+        bc_pp = bc_p
+        for i, (a, side) in enumerate(flux_sides):
+            bc_pp = bc_pp.replace(a, side, bcm.FixedGradient(s.pbc[i]))
         U, e, T, p = solver.primitives(s)
         bc_Ur = bcm.resolve_inlet_outlet(bc_U, U, 2)
-        bc_pr = bcm.resolve_inlet_outlet(bc_p, U, 2)
+        bc_pr = bcm.resolve_inlet_outlet(bc_pp, U, 2)
         bc_Tr = bcm.resolve_inlet_outlet(bc_T, U, 2)
         Upad = ghost_pad(U, bc_Ur, mesh, t=s.t, vector=True)
         padded = {
@@ -1217,9 +1268,14 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
                 blocks.append(jnp.stack(row))
             return jnp.stack(blocks)
 
+        sc_blocks = None
+        if has_varsc:
+            sc_pad = jnp.pad(s.sc.astype(dtype), ((1, 1), (1, 1)),
+                             mode="edge")
+            sc_blocks = split(sc_pad)
         return FusedState(p=split(padded["p"]), T=split(padded["T"]),
                           ux=split(padded["ux"]), uy=split(padded["uy"]),
-                          t=s.t, dt=s.dt)
+                          t=s.t, dt=s.dt, sc=sc_blocks)
 
     def from_sharded(fs: FusedState) -> State:
         def join(a):
@@ -1235,14 +1291,27 @@ def build_sharded_fused_step(solver, dmesh, axis_name: str = "X",
             return jnp.concatenate([rows[0][0:1], interior, rows[-1][-1:]],
                                    axis=0)
 
-        p = join(fs.p)[1:-1, 1:-1]
+        pj = join(fs.p)
+        p = pj[1:-1, 1:-1]
         T = join(fs.T)[1:-1, 1:-1]
         U = jnp.stack([join(fs.ux)[1:-1, 1:-1], join(fs.uy)[1:-1, 1:-1]])
         rho = th.rho_from_p_T(p, T)
         e = th.e_from_T(T)
+        # lagged qgdFlux gradients recovered from the joined p ghost rows
+        # (ghost = interior + g*dx, ops.pad convention)
+        dxv = float(mesh.dx[0][0])
+        pbc = []
+        for a, side in flux_sides:
+            if side == 0:
+                g = (pj[0:1, 1:-1] - pj[1:2, 1:-1]) * (1.0 / dxv)
+            else:
+                g = (pj[-1:, 1:-1] - pj[-2:-1, 1:-1]) * (1.0 / dxv)
+            pbc.append(g)
+        sc = (join(fs.sc)[1:-1, 1:-1] if has_varsc
+              else jnp.full_like(rho, tm.Sc))
         return State(rho=rho, rhoU=rho[None] * U,
                      rhoE=rho * e + 0.5 * rho * jnp.sum(U * U, axis=0),
-                     sc=jnp.full_like(rho, tm.Sc), t=fs.t, dt=fs.dt, pbc=())
+                     sc=sc, t=fs.t, dt=fs.dt, pbc=tuple(pbc))
 
     return step, to_sharded, from_sharded
 

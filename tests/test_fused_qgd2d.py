@@ -116,7 +116,8 @@ def test_fused_varsc_qgdflux_matches_composable():
     solver, state = cases.supersonic_jet_varsc(shape=(64, 32),
                                                dtype=np.float32)
     assert fused_qgd2d.supported(solver)
-    assert not fused_qgd2d.supported(solver, sharded=True)
+    # r4: the sharded wrapper covers the flagship config too
+    assert fused_qgd2d.supported(solver, sharded=True)
     step_ref = jax.jit(solver.make_step())
     fstep, to_fused, from_fused = solver.make_fused_step()
     fstep = jax.jit(fstep)
