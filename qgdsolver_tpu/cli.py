@@ -35,15 +35,34 @@ def _state_dt(state) -> float:
 
 
 def run_case(case_dir: str, max_steps=None, chunk: int = 50,
-             log=print, fused: str = "auto") -> int:
+             log=print, fused: str = "auto", devices=None) -> int:
     """Run the case to controlDict endTime; returns the step count.
 
     fused: "auto" uses the fused Pallas kernel path when the config
     supports it AND the backend is a TPU (the production fast path — the
     carry stays in the kernel's frame layout between chunks and converts
     back only for writes); "never" forces the composable step.
+
+    devices: "PXxPY" decomposes the case over a (PX, PY) device mesh — the
+    reference's `decomposePar + mpirun <solver>` workflow (SURVEY.md §2.4).
+    On TPU with a fused-supported config the sharded fused kernel runs;
+    otherwise the shard_map composable decomposition
+    (parallel.sharding.build_spmd_step).  Field writes gather transparently
+    (shard_map outputs are global arrays).
     """
     import jax
+
+    if devices:
+        px, py = (int(v) for v in str(devices).lower().split("x"))
+        if len(jax.devices()) < px * py:
+            try:  # CPU backend: raise the virtual device count
+                jax.config.update("jax_num_cpu_devices", px * py)
+            except Exception:  # noqa: BLE001 — backend already initialised
+                pass
+        if len(jax.devices()) < px * py:
+            raise SystemExit(
+                f"--devices {devices}: only {len(jax.devices())} devices "
+                "available")
 
     from .io import foam_case, foam_write, foamdict
     from .solvers import common
@@ -59,7 +78,29 @@ def run_case(case_dir: str, max_steps=None, chunk: int = 50,
     write_interval = float(control.get("writeInterval", 0.0) or 0.0)
 
     from_fused = None
-    if (fused == "auto" and jax.default_backend() == "tpu"
+    if devices:
+        from .parallel import sharding as shd
+
+        dmesh = shd.make_device_mesh(jax.devices()[: px * py],
+                                     shape=(px, py), axis_names=("X", "Y"))
+        use_fused_sh = False
+        if fused == "auto" and jax.default_backend() == "tpu":
+            from .ops import fused_qgd2d
+
+            use_fused_sh = (type(solver).__name__ == "QGDFoam"
+                            and fused_qgd2d.supported(solver, sharded=True))
+        if use_fused_sh:
+            from .ops import fused_qgd2d
+
+            step, to_sh, from_fused = fused_qgd2d.build_sharded_fused_step(
+                solver, dmesh)
+            state = to_sh(state)
+            log("sharded fused kernel path engaged (%dx%d mesh)" % (px, py))
+        else:
+            step, to_spmd = shd.build_spmd_step(solver, dmesh, state)
+            state = to_spmd(state)
+            log("shard_map decomposition engaged (%dx%d mesh)" % (px, py))
+    elif (fused == "auto" and jax.default_backend() == "tpu"
             and getattr(solver, "fused_supported", lambda: False)()):
         step, to_fused, from_fused = solver.make_fused_step()
         state = to_fused(state)
@@ -126,9 +167,13 @@ def main(argv=None) -> int:
     ap.add_argument("--no-fused", action="store_true",
                     help="force the composable step (skip the fused "
                          "Pallas kernel path on TPU)")
+    ap.add_argument("--devices", default=None, metavar="PXxPY",
+                    help="decompose the case over a (PX, PY) device mesh "
+                         "(the decomposePar + mpirun workflow), e.g. 4x2")
     args = ap.parse_args(argv)
     run_case(args.case, max_steps=args.max_steps, chunk=args.chunk,
-             fused="never" if args.no_fused else "auto")
+             fused="never" if args.no_fused else "auto",
+             devices=args.devices)
     return 0
 
 

@@ -67,3 +67,40 @@ def test_cli_stops_at_end_time(tmp_path):
     # not by a whole 50-step chunk at maxDeltaT
     assert times[-1] < end_time + 2e-4
     assert 0 < n < 50 * 5
+
+
+def test_cli_multi_device_matches_single(tmp_path):
+    """--devices PXxPY (VERDICT r3 next #6): the decomposePar+mpirun
+    workflow — the same case run on a 4x2 device mesh writes fields
+    allclose to the single-device run."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    def run(name, devices):
+        case = tmp_path / name
+        shutil.copytree(CASE, case)
+        logs = []
+        cli.run_case(str(case), max_steps=20, chunk=10, log=logs.append,
+                     devices=devices)
+        # resume from the run's own final write and return the state
+        ctrl = (case / "system" / "controlDict").read_text().replace(
+            "startFrom       startTime;", "startFrom       latestTime;")
+        (case / "system" / "controlDict").write_text(ctrl)
+        _, state = foam_case.build_case(str(case))
+        return state, logs
+
+    s1, _ = run("serial", None)
+    s2, logs = run("sharded", "4x2")
+    assert any("shard_map decomposition engaged" in ln for ln in logs)
+    np.testing.assert_allclose(float(np.asarray(s2.t)),
+                               float(np.asarray(s1.t)), rtol=1e-10)
+    for fn in ("rho", "rhoU", "rhoE"):
+        a = np.asarray(getattr(s1, fn), dtype=np.float64)
+        b = np.asarray(getattr(s2, fn), dtype=np.float64)
+        scale = np.max(np.abs(a))
+        np.testing.assert_allclose(b / scale, a / scale, rtol=1e-5,
+                                   atol=1e-5, err_msg=fn)
