@@ -99,22 +99,57 @@ class FluxSwitched(BC):
 
 def resolve_inlet_outlet(bcs: "FieldBCs", U, ndim: int) -> "FieldBCs":
     """Replace InletOutlet markers with FluxSwitched from the current cell
-    velocity U (d, *cells).  No-op (trace-time) when no marker is present."""
-    if not any(
-        isinstance(bcs[a, s], InletOutlet) for a in range(ndim) for s in (0, 1)
-    ):
+    velocity U (d, *cells), recursing into Segmented sides.  No-op
+    (trace-time) when no marker is present."""
+
+    def has_io(b):
+        if isinstance(b, InletOutlet):
+            return True
+        if isinstance(b, Segmented):
+            return any(has_io(s) for _, s in b.segments)
+        return False
+
+    if not any(has_io(bcs[a, s]) for a in range(ndim) for s in (0, 1)):
         return bcs
     out = bcs
     for a in range(ndim):
         for side in (0, 1):
             b = out[a, side]
-            if not isinstance(b, InletOutlet):
+            if not has_io(b):
                 continue
             idx = 0 if side == 0 else -1
             un = jnp.take(U[a], jnp.asarray([idx]), axis=a)
             outflow = (un < 0) if side == 0 else (un > 0)
-            out = out.replace(a, side, FluxSwitched(b.inlet_value, outflow))
+
+            def resolve(x):
+                if isinstance(x, InletOutlet):
+                    return FluxSwitched(x.inlet_value, outflow)
+                if isinstance(x, Segmented):
+                    return Segmented(tuple(
+                        (r, resolve(s)) for r, s in x.segments))
+                return x
+
+            out = out.replace(a, side, resolve(b))
     return out
+
+
+@dataclasses.dataclass(frozen=True)
+class Segmented(BC):
+    """A mesh side shared by SEVERAL patches with different BCs (split-side
+    layouts: a jet `inlet` strip surrounded by a `farField` patch on the
+    same boundary plane — the reference's per-patch boundary handling,
+    extendedFaceStencilScalarGrad_8C_source.html:86-109).
+
+    segments: ordered tuple of (rects, bc).  Each `rects` is a tuple of
+    rectangles; a rectangle is a tuple of (lo, hi) half-open GLOBAL
+    cell-index ranges, one per tangential spatial axis in ascending axis
+    order (the side's normal axis excluded).  Ghost cells outside the
+    domain (corner positions) take the nearest segment (indices clamp).
+    Segments are applied in order; later segments win on overlap, and
+    every boundary cell must be covered (ingestion validates coverage).
+    """
+
+    segments: tp.Tuple[tp.Tuple[tp.Any, BC], ...]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -191,4 +226,12 @@ class FieldBCs:
         return FieldBCs(bcs)
 
     def map(self, fn) -> "FieldBCs":
-        return FieldBCs(tuple(tuple(fn(b) for b in row) for row in self.bcs))
+        """Apply fn to every leaf BC, recursing into Segmented sides (fn
+        sees the sub-BCs, never the Segmented wrapper)."""
+
+        def one(b):
+            if isinstance(b, Segmented):
+                return Segmented(tuple((r, one(s)) for r, s in b.segments))
+            return fn(b)
+
+        return FieldBCs(tuple(tuple(one(b) for b in row) for row in self.bcs))

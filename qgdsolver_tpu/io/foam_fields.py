@@ -55,9 +55,11 @@ def _as_float_list(v):
 def parse_block_mesh(bmd: dict):
     """blockMeshDict dict -> (Mesh, patch_map, kept_axes).
 
-    patch_map: {patch_name: (mesh_axis, side)} for the non-collapsed axes;
-    kept_axes: the original xyz axes retained in the Mesh (2D cases drop the
-    `empty`-patch axis).
+    patch_map: {patch_name: (type, ((mesh_axis, side), ...), ranges)} for
+    the non-collapsed axes, where `ranges[(mesh_axis, side)]` holds the
+    patch's tangential cell-index rectangles on that plane (split-side
+    patch support); kept_axes: the original xyz axes retained in the Mesh
+    (2D cases drop the `empty`-patch axis).
     """
     scale = float(bmd.get("convertToMeters", bmd.get("scale", 1.0)) or 1.0)
     verts = [np.asarray(_as_float_list(v)) * scale for v in bmd["vertices"]]
@@ -222,27 +224,41 @@ def parse_block_mesh(bmd: dict):
 
     empty_axes = set()
     raw_patch_plane = {}
+    raw_rects = {}  # name -> {(ax, side): [ {global axis b: (lo, hi)} ]}
     for name, entry in pairs:
         ptype = entry.get("type", "patch")
         faces = entry.get("faces", [])
         if faces and not isinstance(faces[0], list):
             faces = [faces]
         axes_sides = set()
+        rects = {}
         for quad in faces:
             pts = np.stack([verts[int(i)] for i in quad])
             for ax in range(3):
                 if np.ptp(pts[:, ax]) < 1e-9:
+                    key = None
                     if abs(pts[0, ax] - hi[ax]) < 1e-9:
-                        axes_sides.add((ax, 1))
+                        key = (ax, 1)
                     elif abs(pts[0, ax] - lo[ax]) < 1e-9:
-                        axes_sides.add((ax, 0))
+                        key = (ax, 0)
                     # else: a face on an INTERNAL plane — a wall of a
                     # dead-cell region; the stairstep solid mask supplies
                     # the wall behavior, no (axis, side) BC slot exists
+                    if key is not None:
+                        axes_sides.add(key)
+                        # the quad's tangential coordinate extents — the
+                        # face rectangle this patch owns on the side plane
+                        # (split-side patch support)
+                        rects.setdefault(key, []).append({
+                            b: (float(pts[:, b].min()),
+                                float(pts[:, b].max()))
+                            for b in range(3) if b != ax
+                        })
                     break
             else:
                 raise ValueError(f"patch {name}: face {quad} is not axis-aligned")
         raw_patch_plane[name] = (ptype, axes_sides)
+        raw_rects[name] = rects
         if ptype == "empty" and not wedge:
             empty_axes.update(ax for ax, _ in axes_sides)
         # wedge meshes: ONLY the swept axis collapses (added below); an
@@ -278,14 +294,48 @@ def parse_block_mesh(bmd: dict):
         mesh = Mesh(x_faces=x_faces, solid=solid_kept)
 
     axis_of = {ax: i for i, ax in enumerate(kept_axes)}
+
+    def _cell_index(mesh_axis, coord):
+        faces = np.asarray(mesh.x_faces[mesh_axis], dtype=float)
+        k = int(np.argmin(np.abs(faces - coord)))
+        if abs(faces[k] - coord) > tol:
+            raise ValueError(
+                f"patch rectangle coordinate {coord} is not on the axis-"
+                f"{mesh_axis} face grid")
+        return k
+
     patch_map = {}
     for name, (ptype, axes_sides) in raw_patch_plane.items():
         if ptype == "empty" or ptype == "wedge":
             continue
         mapped = {(axis_of[ax], side) for ax, side in axes_sides
                   if ax in axis_of}
-        if mapped:
-            patch_map[name] = (ptype, tuple(sorted(mapped)))
+        if not mapped:
+            continue
+        # tangential cell-index rectangles per mapped side, for split-side
+        # (Segmented) BC assembly: rect = ((lo, hi) half-open cell ranges)
+        # per tangential KEPT axis in ascending mesh-axis order
+        ranges = {}
+        for ax, side in axes_sides:
+            if ax not in axis_of:
+                continue
+            ma = axis_of[ax]
+            rect_list = []
+            for rc in raw_rects[name].get((ax, side), []):
+                rect = []
+                for b in sorted(axis_of):
+                    if b == ax:
+                        continue
+                    mb = axis_of[b]
+                    if b in rc:
+                        lo_c, hi_c = rc[b]
+                        rect.append((_cell_index(mb, lo_c),
+                                     _cell_index(mb, hi_c)))
+                    else:  # degenerate quad info: cover the full axis
+                        rect.append((0, mesh.shape[mb]))
+                rect_list.append(tuple(rect))
+            ranges[(ma, side)] = tuple(rect_list)
+        patch_map[name] = (ptype, tuple(sorted(mapped)), ranges)
     return mesh, patch_map, tuple(kept_axes)
 
 
@@ -412,35 +462,77 @@ def parse_field_file(path: str, mesh: Mesh, patch_map, kept_axes,
 
     default = default_bc or bcm.ZeroGradient()
     rows = [[default, default] for _ in range(nd)]
-    owners = [[None, None] for _ in range(nd)]
+    # claims[axis][side] = ordered [(patch name, bc, rects)]
+    claims = [[[], []] for _ in range(nd)]
     bfield = d.get("boundaryField", {})
     for name, entry in bfield.items():
         if name not in patch_map:
             continue
-        ptype, sides = patch_map[name]
+        ptype, sides = patch_map[name][:2]
+        ranges = patch_map[name][2] if len(patch_map[name]) > 2 else {}
         if not isinstance(entry, dict):
             continue
         bc = _bc_from_entry(entry, nd, kept_axes, vector)
         for axis, side in sides:
-            prev = owners[axis][side]
-            if prev is not None and not _bc_equal(rows[axis][side], bc):
-                # two patches share one mesh side with DIFFERENT BCs: the
-                # (axis, side) BC model cannot represent a split side —
-                # refuse rather than silently letting the last write win
-                raise ValueError(
-                    f"patches {prev!r} and {name!r} both cover mesh side "
-                    f"(axis {axis}, side {side}) of {path} with different "
-                    "boundary conditions; split-side patches are not "
-                    "supported by the structured (axis, side) BC model")
-            rows[axis][side] = bc
-            owners[axis][side] = name
+            claims[axis][side].append(
+                (name, bc, ranges.get((axis, side), ())))
+    for axis in range(nd):
+        for side in (0, 1):
+            cl = claims[axis][side]
+            if not cl:
+                continue
+            if len(cl) == 1 or all(_bc_equal(cl[0][1], b) for _, b, _ in cl):
+                rows[axis][side] = cl[0][1]
+                continue
+            # split side: several patches with DIFFERENT BCs share this
+            # plane -> a Segmented BC over their face rectangles
+            # (reference: per-patch boundary handling,
+            # extendedFaceStencilScalarGrad_8C_source.html:86-109)
+            _validate_side_coverage(cl, axis, mesh, path)
+            for nm, b, _ in cl:
+                if isinstance(b, (bcm.QGDFluxP, bcm.QHDFluxP)):
+                    raise NotImplementedError(
+                        f"patch {nm!r}: qgdFlux/qhdFlux inside a split "
+                        f"side (axis {axis}, side {side}) of {path} is "
+                        "not supported (the lagged-gradient state is "
+                        "whole-side)")
+            rows[axis][side] = bcm.Segmented(
+                tuple((rects, b) for _, b, rects in cl))
     # cyclic patches declared in blockMeshDict apply even if boundaryField
     # names them with type cyclic
-    for name, (ptype, sides) in patch_map.items():
+    for name, val in patch_map.items():
+        ptype, sides = val[:2]
         if ptype == "cyclic":
             for axis, side in sides:
                 rows[axis][side] = bcm.Periodic()
     return internal, bcm.FieldBCs(tuple(tuple(r) for r in rows))
+
+
+def _validate_side_coverage(claims, axis, mesh, path):
+    """Every tangential cell of the side must be covered exactly once by
+    the claiming patches' rectangles (OpenFOAM guarantees disjoint
+    patches; holes would silently take another patch's ghost value)."""
+    tang = [b for b in range(mesh.ndim) if b != axis]
+    shape = tuple(mesh.shape[b] for b in tang)
+    cover = np.zeros(shape, dtype=int)
+    for name, _, rects in claims:
+        if not rects:
+            raise ValueError(
+                f"patch {name!r} claims a split side of {path} but has no "
+                "face rectangles (blockMeshDict boundary faces missing)")
+        for rect in rects:
+            sl = tuple(slice(lo, hi) for lo, hi in rect)
+            cover[sl] += 1
+    if (cover == 0).any():
+        raise ValueError(
+            f"split side (axis {axis}) of {path}: boundary cells "
+            f"{np.argwhere(cover == 0)[:5].tolist()} are covered by no "
+            "patch")
+    if (cover > 1).any():
+        raise ValueError(
+            f"split side (axis {axis}) of {path}: boundary cells "
+            f"{np.argwhere(cover > 1)[:5].tolist()} are claimed by "
+            "several patches")
 
 
 def load_initial_fields(case_dir: str, mesh: Mesh, patch_map, kept_axes,

@@ -128,6 +128,22 @@ def _ghost_layers(bc_lo, bc_hi, arr, mesh, a, t, vector):
                     last = jnp.where(b_hi, last, next_m)
                 mask = jnp.concatenate([first, mask, last], axis=axb)
             return jnp.where(mask, interior, 2.0 * v - interior)
+        if isinstance(bc, bcm.Segmented):
+            # split-side patches: each segment's ghost layer applies on its
+            # global cell-index rectangles (later segments win on overlap;
+            # ingestion validates full coverage).  Reference analogue:
+            # per-patch boundary loops,
+            # extendedFaceStencilScalarGrad_8C_source.html:86-109.
+            layer = None
+            for rects, sub in bc.segments:
+                sub_layer = one(sub, side, interior, other_interior, dx,
+                                near2)
+                if layer is None:
+                    layer = jnp.broadcast_to(sub_layer, interior.shape)
+                else:
+                    m = _segment_mask(rects, a, mesh, ctx)
+                    layer = jnp.where(m, sub_layer, layer)
+            return layer
         if isinstance(bc, bcm.InletOutlet):
             raise TypeError(
                 "InletOutlet must be resolved per step via "
@@ -147,6 +163,38 @@ def _ghost_layers(bc_lo, bc_hi, arr, mesh, a, t, vector):
             lo = jnp.where(is_lo, lo, from_prev)
             hi = jnp.where(is_hi, hi, from_next)
     return lo, hi, ax
+
+
+def _segment_mask(rects, a, mesh, ctx):
+    """Boolean mask over the axis-`a` ghost layer's spatial dims selecting
+    the GLOBAL cell-index rectangles `rects` (tangential axes, ascending
+    order).  Axes < a carry one ghost position each side (index -1 / n,
+    clamped into the nearest cell); under an spmd context, local positions
+    offset by the shard's start index."""
+    nd = mesh.ndim
+    tang = [b for b in range(nd) if b != a]
+    glob = ctx.global_mesh if (ctx is not None
+                               and ctx.global_mesh is not None) else mesh
+    mask = None
+    for rect in rects:
+        m = None
+        for k, b in enumerate(tang):
+            lo_k, hi_k = rect[k]
+            n_loc = mesh.shape[b]
+            ext = n_loc + 2 if b < a else n_loc
+            idx = jnp.arange(ext) - (1 if b < a else 0)
+            if ctx is not None and ctx.sharded(b):
+                import jax
+
+                idx = idx + jax.lax.axis_index(ctx.axes[b].name) \
+                    * ctx.axes[b].n_local
+            idx = jnp.clip(idx, 0, glob.shape[b] - 1)
+            shape = [1] * nd
+            shape[b] = ext
+            cond = ((idx >= lo_k) & (idx < hi_k)).reshape(shape)
+            m = cond if m is None else (m & cond)
+        mask = m if mask is None else (mask | m)
+    return mask
 
 
 def ghost_pad(field, bcs: bcm.FieldBCs, mesh: Mesh, t=0.0, vector: bool = False):

@@ -549,18 +549,17 @@ mergePatchPairs ();
     assert np.asarray(s.rho).min() > 0
 
 
-def test_split_side_patch_conflict_rejected(tmp_path):
-    """Two patches covering the SAME mesh side with different BCs (a
-    split-side multi-block layout) must be rejected loudly — the
-    (axis, side) BC model cannot represent it, and silently letting the
-    last boundaryField entry win would be wrong physics."""
+def test_split_side_overlapping_patches_rejected(tmp_path):
+    """Two patches claiming the SAME face rectangle with different BCs is
+    an overlap, not a split side — rejected loudly (silently letting the
+    last boundaryField entry win would be wrong physics)."""
     import shutil
 
     import pytest
 
     case = tmp_path / "jet"
     shutil.copytree(CASE, case)
-    # declare a second patch on part of the inlet plane with a different BC
+    # declare a second patch on the WHOLE inlet plane with a different BC
     bmd = (case / "system" / "blockMeshDict").read_text().replace(
         "inlet        { type patch; faces ((0 4 7 3)); }",
         "inlet        { type patch; faces ((0 4 7 3)); }\n"
@@ -571,8 +570,68 @@ def test_split_side_patch_conflict_rejected(tmp_path):
         "inlet        { type fixedValue; value uniform (500 0 0); }\n"
         "    inlet2       { type fixedValue; value uniform (0 0 0); }")
     (case / "0" / "U").write_text(u)
-    with pytest.raises(ValueError, match="split-side"):
+    with pytest.raises(ValueError, match="several patches"):
         foam_case.build_case(str(case))
+
+
+SPLIT_CASE = os.path.join(FIX, "jet_coflow_case")
+
+
+def test_split_side_jet_coflow_builds_and_runs(tmp_path):
+    """Split-side patch layout (VERDICT r3 next #2): a jet `inlet` strip
+    and a `coflow` patch share the x-lo boundary plane of a two-block
+    mesh.  Ingestion maps each patch's face quads to tangential cell
+    ranges and builds a Segmented BC; the case runs via the CLI and each
+    strip sees its own inlet velocity."""
+    import shutil
+
+    from qgdsolver_tpu import cli
+
+    solver, state = foam_case.build_case(SPLIT_CASE)
+    b = solver.bc_U[0, 0]
+    assert isinstance(b, bcm.Segmented)
+    assert len(b.segments) == 2
+    covers = sorted(r for rects, _ in b.segments for r in rects)
+    assert covers == [((0, 16),), ((16, 32),)]
+    # T has the SAME fixedValue on both patches -> collapses to one BC
+    assert isinstance(solver.bc_T[0, 0], bcm.FixedValue)
+
+    case = tmp_path / "coflow"
+    shutil.copytree(SPLIT_CASE, case)
+    cli.run_case(str(case), max_steps=20, chunk=10, log=lambda *_: None)
+    ctrl = (case / "system" / "controlDict").read_text().replace(
+        "startFrom       startTime;", "startFrom       latestTime;")
+    (case / "system" / "controlDict").write_text(ctrl)
+    _, s = foam_case.build_case(str(case))
+    U = np.asarray(s.rhoU / s.rho[None])
+    assert np.isfinite(U).all()
+    # the jet strip (y cells 0..15) accelerates to ~500, the coflow strip
+    # to ~50 (plus shear-layer entrainment near the interface) — the split
+    # side drives genuinely different inflow
+    assert U[0, 0, :16].max() > 100.0
+    assert U[0, 0, 20:].max() < 100.0
+    assert U[0, 0, 20:].max() < 0.5 * U[0, 0, :16].max()
+
+
+def test_segmented_ghost_pad_values():
+    """Segmented ghost layers apply each sub-BC exactly on its rectangle
+    (FixedValue mirror on the strip, ZeroGradient copy outside)."""
+    from qgdsolver_tpu.core.mesh import Mesh
+    from qgdsolver_tpu.ops.pad import ghost_pad
+
+    mesh = Mesh.uniform((4, 8), lengths=(1.0, 2.0), dtype=np.float64)
+    seg = bcm.Segmented((
+        ((((0, 3),),), bcm.FixedValue(10.0)),
+        ((((3, 8),),), bcm.ZeroGradient()),
+    ))
+    bcs = bcm.FieldBCs(((seg, bcm.ZeroGradient()),
+                        (bcm.ZeroGradient(), bcm.ZeroGradient())))
+    f = jnp.arange(32, dtype=jnp.float64).reshape(4, 8)
+    fp = np.asarray(ghost_pad(f, bcs, mesh))
+    interior = np.asarray(f)
+    # x-lo ghost row, cell lanes 1..8 of the padded frame
+    np.testing.assert_allclose(fp[0, 1:4], 2 * 10.0 - interior[0, :3])
+    np.testing.assert_allclose(fp[0, 4:9], interior[0, 3:])
 
 
 def test_write_time_dir_roundtrip_3d(tmp_path):

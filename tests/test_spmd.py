@@ -129,3 +129,19 @@ def test_spmd_x_only_decomposition():
     vanish); parity still holds."""
     solver, state = cases.supersonic_jet(shape=(128, 64), dtype=np.float64)
     _parity(solver, state, 6, _dmesh(8, 1), rtol=1e-12)
+
+
+def test_segmented_split_side_spmd_parity():
+    """Segmented (split-side) BCs under decomposition: the segment masks
+    use GLOBAL cell indices offset by the shard's start — the jet+coflow
+    case decomposed 2x4 (cutting the split side across 4 Y shards)
+    matches serial."""
+    import os
+
+    from qgdsolver_tpu.io import foam_case
+
+    case = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "jet_coflow_case")
+    solver, state = foam_case.build_case(case)
+    assert isinstance(solver.bc_U[0, 0], bcm.Segmented)
+    _parity(solver, state, 10, _dmesh(2, 4), rtol=1e-6)
