@@ -145,3 +145,48 @@ def scalar_box(shape=(64, 64), dtype=np.float64):
     U0 = jnp.stack([jnp.ones(mesh.shape, dtype=dtype),
                     jnp.zeros(mesh.shape, dtype=dtype)])
     return solver, solver.init(T0, U0)
+
+
+def supersonic_duct_3d(shape=(256, 126, 126), dtype=np.float32, mach=2.0):
+    """3D QGDFoam bench/parity case: a Mach-`mach` duct flow with a hot
+    low-density spherical disturbance advecting through it.  All BCs are
+    scalar-valued (uniform inflow, zero-gradient outflow/walls) so the case
+    runs on the fused 3D x-slab kernel (ops.fused_qgd3d); the default shape
+    packs the (ny+2, nz+2) plane exactly into one (128, 128) tile set.
+
+    The reference's primary workload is 3D (GaussVolPointBase3D,
+    GaussVolPointBase3D_8C_source.html:41-963); this is the structured
+    3D counterpart of the supersonic-jet bench config.
+    """
+    from .solvers.qgd import QGDFoam
+
+    mesh = Mesh.uniform(shape, lengths=(4.0, 2.0, 2.0), dtype=dtype)
+    th = PerfectGasThermo(R=287.0, Cp=1004.5)
+    p_inf, T_inf = 1.0e5, 300.0
+    u_in = mach * float(th.c(jnp.asarray(T_inf)))
+    zg = bcm.ZeroGradient()
+    bc_U = bcm.FieldBCs((
+        (bcm.FixedValue(jnp.asarray([u_in, 0.0, 0.0])), zg),
+        (zg, zg), (zg, zg)))
+    bc_p = bcm.FieldBCs(((zg, bcm.FixedValue(p_inf)),
+                         (bcm.FixedValue(p_inf), bcm.FixedValue(p_inf)),
+                         (bcm.FixedValue(p_inf), bcm.FixedValue(p_inf))))
+    bc_T = bcm.FieldBCs(((bcm.FixedValue(T_inf), zg),
+                         (zg, zg), (zg, zg)))
+    solver = QGDFoam(
+        mesh=mesh, thermo=th,
+        tau_model=ConstScPrModel1(alpha=0.5, Sc=1.0, Pr=1.0),
+        bc_U=bc_U, bc_p=bc_p, bc_T=bc_T,
+        time=common.TimeControls(max_co=0.2, max_dt=1e-3, dt0=1e-7),
+    )
+    xc = [np.asarray(c) for c in mesh.centers]
+    r2 = ((xc[0][:, None, None] - 1.0) ** 2
+          + (xc[1][None, :, None] - 1.0) ** 2
+          + (xc[2][None, None, :] - 1.0) ** 2)
+    hot = 1.0 + 0.2 * np.exp(-r2 / 0.08)
+    p0 = jnp.full(mesh.shape, p_inf, dtype=dtype)
+    T0 = jnp.asarray(T_inf * hot, dtype=dtype)
+    U0 = jnp.stack([jnp.full(mesh.shape, u_in, dtype=dtype),
+                    jnp.zeros(mesh.shape, dtype=dtype),
+                    jnp.zeros(mesh.shape, dtype=dtype)])
+    return solver, solver.init(p0=p0, T0=T0, U0=U0)

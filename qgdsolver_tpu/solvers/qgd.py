@@ -446,11 +446,15 @@ class QGDFoam:
 
     # -- fused TPU kernel path ---------------------------------------------
     def fused_supported(self) -> bool:
-        """True if this config can run on a fused whole-step Pallas kernel
-        (ops.fused_qgd2d): 2D uniform f32 mesh, perfect-gas thermo,
+        """True if this config can run on a fused whole-step Pallas kernel:
+        2D (ops.fused_qgd2d — uniform f32 mesh, perfect-gas thermo,
         constScPrModel1-family or varScModel5 tau, explicit diffusion,
-        simple/qgdFlux BCs.  VMEM-sized grids run the whole-frame kernel;
-        larger grids the HBM-tiled x-slab pipeline."""
+        simple/qgdFlux BCs; whole-frame or HBM-tiled) or 3D
+        (ops.fused_qgd3d — x-slab pipelined grid, constScPr family)."""
+        if self.mesh.ndim == 3:
+            from ..ops import fused_qgd3d
+
+            return fused_qgd3d.supported(self)
         from ..ops import fused_qgd2d
 
         if not fused_qgd2d.supported(self):
@@ -460,10 +464,15 @@ class QGDFoam:
 
     def make_fused_step(self, interpret=None):
         """(step, to_fused, from_fused): single-pallas-kernel step over
-        VMEM-resident fields, or the HBM-tiled slab pipeline when the frame
-        exceeds VMEM — see ops.fused_qgd2d for the design.  `step` maps
-        FusedState -> FusedState (TiledState on the tiled route); use
-        to_fused/from_fused to convert to/from the composable State."""
+        VMEM-resident fields, the HBM-tiled slab pipeline when the 2D frame
+        exceeds VMEM, or the 3D x-slab pipeline on 3D meshes — see
+        ops.fused_qgd2d / ops.fused_qgd3d for the designs.  `step` maps the
+        fused carry to itself; use to_fused/from_fused to convert to/from
+        the composable State."""
+        if self.mesh.ndim == 3:
+            from ..ops import fused_qgd3d
+
+            return fused_qgd3d.build_fused_step_3d(self, interpret=interpret)
         from ..ops import fused_qgd2d
 
         if fused_qgd2d.whole_frame_viable(self):

@@ -1,0 +1,91 @@
+"""3D fused x-slab kernel (ops.fused_qgd3d) vs the composable 3D step.
+
+The serial-oracle practice of SURVEY.md §4: the kernel must reproduce the
+composable GaussVolPoint ("full") step on a uniform brick to fp tolerance
+(interpret mode on CPU; the real-backend compile is gated by
+`bench.py --compile-only`'s fused_3d variant).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qgdsolver_tpu import cases
+from qgdsolver_tpu.ops import fused_qgd3d
+from qgdsolver_tpu.solvers import common
+
+
+def _case(shape=(8, 6, 6)):
+    solver, state = cases.supersonic_duct_3d(shape=shape, dtype=np.float32)
+    return solver, state
+
+
+def test_supported_and_slab():
+    solver, _ = _case()
+    assert fused_qgd3d.supported(solver)
+    assert solver.fused_supported()
+
+
+def test_fused3d_matches_composable():
+    """10 steps of the fused 3D kernel track the composable step (dt chain
+    identical, fields to f32 reassociation tolerance)."""
+    solver, state = _case()
+    step_ref = jax.jit(solver.make_step())
+    fstep, to_f, from_f = fused_qgd3d.build_fused_step_3d(solver,
+                                                          interpret=True)
+    fstep = jax.jit(fstep)
+    s = state
+    fs = to_f(state)
+    for _ in range(10):
+        s = step_ref(s)
+        fs = fstep(fs)
+    out = from_f(fs)
+    np.testing.assert_allclose(float(out.dt), float(s.dt), rtol=1e-6)
+    np.testing.assert_allclose(float(out.t), float(s.t), rtol=1e-6)
+    for name in ("rho", "rhoU", "rhoE"):
+        a = np.asarray(getattr(s, name), dtype=np.float64)
+        b = np.asarray(getattr(out, name), dtype=np.float64)
+        scale = np.max(np.abs(a))
+        np.testing.assert_allclose(b / scale, a / scale, rtol=2e-5,
+                                   atol=2e-5, err_msg=name)
+
+
+def test_fused3d_multi_slab_matches_single():
+    """The slab decomposition is invisible: 2 slabs == 1 slab bitwise on
+    the carried frames (the x-halo plane plumbing is exact)."""
+    solver, state = _case(shape=(8, 6, 6))
+    s1, to1, _ = fused_qgd3d.build_fused_step_3d(solver, interpret=True,
+                                                 slab=8)
+    s2, to2, _ = fused_qgd3d.build_fused_step_3d(solver, interpret=True,
+                                                 slab=4)
+    f1, f2 = to1(state), to2(state)
+    j1, j2 = jax.jit(s1), jax.jit(s2)
+    for _ in range(5):
+        f1 = j1(f1)
+        f2 = j2(f2)
+    for name in ("p", "T", "ux", "uy", "uz"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(f1, name)), np.asarray(getattr(f2, name)),
+            err_msg=name)
+
+
+def test_fused3d_roundtrip():
+    solver, state = _case()
+    _, to_f, from_f = fused_qgd3d.build_fused_step_3d(solver,
+                                                      interpret=True)
+    s2 = from_f(to_f(state))
+    for name in ("rho", "rhoU", "rhoE"):
+        np.testing.assert_allclose(np.asarray(getattr(state, name)),
+                                   np.asarray(getattr(s2, name)), rtol=1e-6)
+
+
+def test_fused3d_run_stable():
+    """A longer run through run_steps stays finite and the disturbance
+    advects downstream (physics sanity, not just parity)."""
+    solver, state = _case(shape=(16, 6, 6))
+    fstep, to_f, from_f = fused_qgd3d.build_fused_step_3d(solver,
+                                                          interpret=True)
+    fs = jax.jit(lambda s: common.run_steps(fstep, s, 30))(to_f(state))
+    out = from_f(fs)
+    assert np.isfinite(np.asarray(out.rho)).all()
+    assert float(out.t) > 0.0
