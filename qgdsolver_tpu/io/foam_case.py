@@ -184,10 +184,13 @@ def build_case(case_dir: str):
             fields.setdefault(k, v)
 
     if getattr(mesh, "solid", None) is not None and app not in (
-            "QGDFoam", "particlesQGDFoam"):
+            "QGDFoam", "particlesQGDFoam",
+            # r4: the QHD family runs masked Helmholtz/Poisson operators
+            # (linsolve fluid_mask + stairstep mirror walls)
+            "QHDFoam", "SRFQHDFoam", "mulesQHDFoam"):
         raise NotImplementedError(
             "dead-cell (L-shaped multi-block) meshes are supported by the "
-            "explicit stairstep-wall QGD family only; got " + app)
+            "stairstep-wall QGD/QHD families only; got " + app)
     if getattr(mesh, "axisymmetric", False) and app not in (
             "QGDFoam", "rhoQGDFoam", "particlesQGDFoam", "particlesQHDFoam",
             "QHDFoam", "SRFQHDFoam", "mulesQHDFoam", "QHDDyMFoam",

@@ -59,17 +59,24 @@ def cg(matvec, b, x0, *, tol=1e-7, maxiter=1000, precond=None, project=None):
     if project is not None:
         r0 = project(r0)
     z0 = M(r0)
+    if project is not None:
+        # a nonuniform preconditioner reintroduces nullspace components;
+        # leaving them in the search directions makes p.Ap collapse while
+        # rz stays finite (alpha blow-up) — project z, not just Ap
+        z0 = project(z0)
     norm_b = jnp.sqrt(_dot(b, b))
     norm_b = jnp.where(norm_b > 0, norm_b, 1.0)
 
     # |r|^2 is computed in the BODY and carried, so the while cond stays
     # collective-free (required for psum-bearing dots under shard_map)
     def cond(carry):
-        x, r, z, p_, rz, rr, it = carry
-        return jnp.logical_and(rr > jnp.square(tol * norm_b), it < maxiter)
+        x, r, z, p_, rz, rr, it, ok = carry
+        return jnp.logical_and(
+            ok, jnp.logical_and(rr > jnp.square(tol * norm_b),
+                                it < maxiter))
 
     def body(carry):
-        x, r, z, p_, rz, rr, it = carry
+        x, r, z, p_, rz, rr, it, ok = carry
         Ap = matvec(p_)
         if project is not None:
             Ap = project(Ap)
@@ -77,13 +84,22 @@ def cg(matvec, b, x0, *, tol=1e-7, maxiter=1000, precond=None, project=None):
         x = x + alpha * p_
         r = r - alpha * Ap
         z = M(r)
+        if project is not None:
+            z = project(z)
         rz_new = _dot(r, z)
         beta = rz_new / jnp.maximum(rz, jnp.finfo(b.dtype).tiny)
         p_ = z + beta * p_
-        return (x, r, z, p_, rz_new, _dot(r, r), it + 1)
+        rr_new = _dot(r, r)
+        # SPD breakdown guard: rz must stay positive; once the residual is
+        # pure rounding noise (a near-zero rhs) the recurrence degrades —
+        # stop with the current (already converged) iterate instead of
+        # grinding to NaN
+        ok = jnp.logical_and(jnp.isfinite(rr_new), rz_new > 0)
+        return (x, r, z, p_, rz_new, rr_new, it + 1, ok)
 
-    init = (x0, r0, z0, z0, _dot(r0, z0), _dot(r0, r0), jnp.asarray(0))
-    x, r, _, _, _, rr, it = jax.lax.while_loop(cond, body, init)
+    init = (x0, r0, z0, z0, _dot(r0, z0), _dot(r0, r0), jnp.asarray(0),
+            jnp.asarray(True))
+    x, r, _, _, _, rr, it, _ = jax.lax.while_loop(cond, body, init)
     if project is not None:
         x = project(x)
     return CGResult(x=x, iters=it, residual=jnp.sqrt(rr) / norm_b)
@@ -92,6 +108,35 @@ def cg(matvec, b, x0, *, tol=1e-7, maxiter=1000, precond=None, project=None):
 # ---------------------------------------------------------------------------
 # Helmholtz / Poisson assembly helpers (the fvm::laplacian replacements)
 # ---------------------------------------------------------------------------
+
+
+def face_fluid_masks(solid, mesh: Mesh):
+    """Per-axis face multipliers for a stairstep solid mask: 1 on
+    fluid-fluid interior faces and on domain-boundary faces of fluid cells,
+    0 on every face touching a solid cell (zero-flux immersed wall).
+
+    This is the masked-operator counterpart of the reference's mesh-agnostic
+    pEqn (QHDpEqn_8H_source.html:33-48): OpenFOAM's unstructured mesh simply
+    omits solid cells; the structured design keeps the bounding box and
+    zeroes their faces, which renders the masked Helmholtz operator
+    symmetric positive (semi)definite on the fluid subspace.
+    """
+    import numpy as np_
+
+    fluid = ~np_.asarray(solid, dtype=bool)
+    nd = mesh.ndim
+    masks = []
+    for a in range(nd):
+        lo = np_.take(fluid, [0], axis=a)
+        hi = np_.take(fluid, [-1], axis=a)
+        ext = np_.concatenate([lo, fluid, hi], axis=a)
+        sl_lo = [slice(None)] * nd
+        sl_lo[a] = slice(0, -1)
+        sl_hi = [slice(None)] * nd
+        sl_hi[a] = slice(1, None)
+        masks.append(jnp.asarray(
+            (ext[tuple(sl_lo)] & ext[tuple(sl_hi)]).astype(mesh.dtype)))
+    return tuple(masks)
 
 
 def helmholtz_affine(x, *, diag_coeff, gamma_faces, bcs, mesh: Mesh, t=0.0,
@@ -125,7 +170,8 @@ def helmholtz_diag(*, diag_coeff, gamma_faces, mesh: Mesh):
 
 def solve_helmholtz(*, diag_coeff, gamma_faces, rhs, x0, bcs, mesh: Mesh,
                     t=0.0, vector=False, tol=1e-7, maxiter=1000,
-                    singular=False):
+                    singular=False, fluid_mask=None,
+                    solid_wall_dirichlet=False):
     """Solve diag*x - lap(Gamma_f, x) = rhs under `bcs`.
 
     The affine BC contribution is split off (homogeneous-BC linear part feeds
@@ -134,20 +180,82 @@ def solve_helmholtz(*, diag_coeff, gamma_faces, rhs, x0, bcs, mesh: Mesh,
     pure-Neumann pressure equation (OpenFOAM pRefCell equivalent — the
     returned field has zero mean; callers re-add their reference level, as
     QHDFoam does at QHDFoam_8C_source.html:123-131).
+
+    fluid_mask: static boolean FLUID-cell array for stairstep solid meshes.
+    Faces touching solid cells carry zero flux (face_fluid_masks), solid
+    rows become a decoupled identity block with zero rhs, and the singular
+    projector acts on the fluid subspace only — the masked counterpart of
+    the reference's mesh-agnostic pEqn (QHDpEqn_8H_source.html:33-48).
+    With solid_wall_dirichlet=True the immersed faces instead behave as
+    homogeneous Dirichlet walls (the no-slip mirror G = -x across the
+    face adds +2*Gamma_f*|S_f|/(d*V) to the adjacent fluid diagonal) —
+    what a body-fitted fixedValue-0 wall BC contributes.
     """
+    solid_sel = None
+    wall_diag = 0.0
+    if fluid_mask is not None:
+        import numpy as np_
+
+        fm = np_.asarray(fluid_mask, dtype=bool)
+        solid_np = ~fm
+        fmasks = face_fluid_masks(solid_np, mesh)
+        if solid_wall_dirichlet:
+            # per-axis immersed-wall face masks: exactly one side solid
+            # (domain-boundary faces replicate and never qualify)
+            nd = mesh.ndim
+            wall_diag = jnp.zeros(mesh.shape, dtype=mesh.dtype)
+            for a in range(nd):
+                lo = np_.take(fm, [0], axis=a)
+                hi = np_.take(fm, [-1], axis=a)
+                ext = np_.concatenate([lo, fm, hi], axis=a)
+                sl_lo = [slice(None)] * nd
+                sl_lo[a] = slice(0, -1)
+                sl_hi = [slice(None)] * nd
+                sl_hi[a] = slice(1, None)
+                wmask = jnp.asarray(
+                    (ext[tuple(sl_lo)] != ext[tuple(sl_hi)])
+                    .astype(mesh.dtype))
+                gw = jnp.broadcast_to(
+                    gamma_faces[a] * wmask * mesh.face_area(a)
+                    / mesh.bcast(mesh.d_centers[a], a),
+                    wmask.shape)
+                cl = [slice(None)] * nd
+                cl[a] = slice(0, -1)
+                ch = [slice(None)] * nd
+                ch[a] = slice(1, None)
+                wall_diag = wall_diag + 2.0 * (gw[tuple(cl)]
+                                               + gw[tuple(ch)])
+            wall_diag = (wall_diag / mesh.cell_volume
+                         * jnp.asarray(fm.astype(mesh.dtype)))
+        gamma_faces = tuple(g * m for g, m in zip(gamma_faces, fmasks))
+        fluid_f = jnp.asarray(fm.astype(mesh.dtype))
+        solid_sel = jnp.asarray(solid_np)
+        rhs = jnp.where(solid_sel, 0.0, rhs)
+        x0 = jnp.where(solid_sel, 0.0, x0)
+
     bcs_h = bcs.map(bcm.homogeneous)
     aff = partial(
         helmholtz_affine, diag_coeff=diag_coeff, gamma_faces=gamma_faces,
         mesh=mesh, t=t, vector=vector,
     )
+
+    def add_solid(ax, x):
+        # decoupled unit rows keep the operator SPD when diag_coeff == 0;
+        # wall_diag carries the immersed no-slip Dirichlet contribution
+        if solid_sel is None:
+            return ax
+        return ax + jnp.where(solid_sel, x, 0.0) + wall_diag * x
+
     a0 = aff(jnp.zeros_like(rhs), bcs=bcs)
 
     def matvec(x):
-        return aff(x, bcs=bcs_h)
+        return add_solid(aff(x, bcs=bcs_h), x)
 
     b = rhs - a0
 
     diag = helmholtz_diag(diag_coeff=diag_coeff, gamma_faces=gamma_faces, mesh=mesh)
+    if solid_sel is not None:
+        diag = diag + jnp.where(solid_sel, 1.0, 0.0) + wall_diag
     diag = jnp.broadcast_to(diag, rhs.shape)
 
     def precond(r):
@@ -156,10 +264,15 @@ def solve_helmholtz(*, diag_coeff, gamma_faces, rhs, x0, bcs, mesh: Mesh,
     project = None
     if singular:
         vol = jnp.broadcast_to(mesh.cell_volume, mesh.shape)
+        if solid_sel is not None:
+            vol = vol * fluid_f
         vtot = spmd.all_sum(jnp.sum(vol))
 
         def project(f):  # noqa: F811 — volume-weighted mean removal
-            return f - spmd.all_sum(jnp.sum(f * vol)) / vtot
+            m = spmd.all_sum(jnp.sum(f * vol)) / vtot
+            if solid_sel is not None:
+                return f - jnp.where(solid_sel, 0.0, m)
+            return f - m
 
     return cg(matvec, b, x0, tol=tol, maxiter=maxiter, precond=precond,
               project=project)

@@ -320,6 +320,20 @@ class JanafThermo:
     def e_abs(self, T):
         return self.h_abs(T) - self.R * T
 
+    def s_abs(self, T):
+        """Standard-state entropy s0(T) (NASA polynomial 7th coefficient):
+        s/R = a0 ln T + a1 T + a2 T^2/2 + a3 T^3/3 + a4 T^4/4 + a6.
+        Needed for equilibrium constants of reversible reactions
+        (Gibbs energies from the same JANAF data the reference's
+        makeChemistryModel hierarchy uses)."""
+        a = self._coeffs(T)
+        poly = (a[..., 0] * jnp.log(T)
+                + T * (a[..., 1] + T * (a[..., 2] / 2
+                                        + T * (a[..., 3] / 3
+                                               + T * a[..., 4] / 4)))
+                + a[..., 6])
+        return self.R * poly
+
     def cv(self, T):
         return self.cp(T) - self.R
 

@@ -148,8 +148,38 @@ class QHDFoam:
         sch_T = fvsc.scheme_for(scheme, "grad(T)")
         sch_p = fvsc.scheme_for(scheme, "grad(p)")
 
+        # stairstep immersed solid regions (dead cells of L-shaped
+        # multi-block meshes): no-slip mirror fill before the step, masked
+        # Helmholtz/Poisson operators (zero-flux faces, linsolve
+        # fluid_mask), solid clamp after — the masked counterpart of the
+        # reference's mesh-agnostic pEqn (QHDpEqn_8H_source.html:33-48)
+        wall = None
+        fluid_mask = None
+        fmasks = None
+        ref_cell = (0,) * nd
+        if getattr(mesh, "solid", None) is not None:
+            import numpy as _np
+
+            from ..core.solid import StairstepSolid
+
+            if self.mesh_scale is not None or self.mesh_velocity is not None:
+                raise NotImplementedError("solid masks on a deforming mesh")
+            wall = StairstepSolid(mesh.solid)
+            fluid_np = ~_np.asarray(mesh.solid, dtype=bool)
+            fluid_mask = fluid_np
+            fmasks = linsolve.face_fluid_masks(mesh.solid, mesh)
+            # the pRef cell must be a FLUID cell (cell (0,..,0) is solid in
+            # a backward-facing step)
+            ref_cell = tuple(int(i) for i in _np.argwhere(fluid_np)[0])
+
         def step(s: State) -> State:
             U, T, p, t, dt = s
+            if wall is not None:
+                # mirror-ghost fill of solid boundary cells: shared faces
+                # see zero normal velocity and zero-gradient scalars
+                T = wall.mirror(T)
+                p = wall.mirror(p)
+                U = wall.mirror_vector(U)
             # resolve inletOutlet markers against the current flow direction
             bc_Us = bcm.resolve_inlet_outlet(bc_U, U, nd)
             bc_Ts = bcm.resolve_inlet_outlet(bc_T, U, nd)
@@ -202,6 +232,10 @@ class QHDFoam:
             wo = tuple(tau_f[a] * (u_dot_gradU[a] - BdFrcf[a]) for a in range(nd))
             phiwo = tuple(wo[a][a] * area[a] for a in range(nd))
             taubyrhof = tuple(tau_f[a] / rhof[a] for a in range(nd))
+            # NOTE: phiu/phiwo are NOT masked at immersed faces — the
+            # mirror fill already reproduces the body-fitted wall face
+            # values exactly (Uf_n = 0 so phiu = 0; phiwo carries the
+            # same tau*(0 - BdFrc) wall value a body-fitted boundary does)
 
             # ---- Courant + setDeltaT -------------------------------------
             if deform:
@@ -299,13 +333,20 @@ class QHDFoam:
                 diag_coeff=0.0, gamma_faces=gam_p, rhs=-rhs_p, x0=p,
                 bcs=bc_p, mesh=mesh, t=t, tol=self.cg_tol,
                 maxiter=self.cg_maxiter, singular=singular,
+                fluid_mask=fluid_mask,
             )
             p_new = res.x
             if singular:
                 # reference-cell fix (QHDFoam_8C:123-131), cell (0,...,0) —
-                # under spmd decomposition the GLOBAL corner shard owns it
-                p_ref = common.spmd.first_shard_value(p_new[(0,) * nd])
+                # or the first FLUID cell on solid-masked meshes; under spmd
+                # decomposition the GLOBAL corner shard owns it
+                p_ref = common.spmd.first_shard_value(p_new[ref_cell])
                 p_new = p_new + (self.p_ref_value - p_ref)
+            if wall is not None:
+                # the solve leaves solid cells at 0; every consumer of
+                # p_new below (gradPf, grad_p_cell, snp) must see the wall
+                # mirror instead (body-fitted zg ghost parity)
+                p_new = wall.mirror(p_new)
 
             # phi = phiu - phiwo + pEqn.flux()  (QHDpEqn_8H:47); under
             # deformation the laplacian face flux is sp_new*gam_p*A_log*snp
@@ -321,6 +362,15 @@ class QHDFoam:
                 phiu[a] - phiwo[a] - tb_flux[a] * area[a] * snp[a]
                 for a in range(nd)
             )
+            if fmasks is not None:
+                # the LAPLACIAN part of the pEqn flux is masked exactly
+                # like the masked operator that produced p_new: kill the
+                # snp term at immersed faces (snp is 0 there up to the
+                # mirror's fp noise); phiu/phiwo keep their wall values
+                phi = tuple(
+                    phiu[a] - phiwo[a]
+                    - tb_flux[a] * area[a] * snp[a] * fmasks[a]
+                    for a in range(nd))
             if self.mesh_velocity is not None or deform:
                 # fvc::makeRelative(phi, U): subtract the mesh face flux
                 # (QHDDyMFoam_8C:109-135).  Dilation: u_m = sdot*xi + odot
@@ -367,6 +417,14 @@ class QHDFoam:
             # G[i, j] = dU_j/dx_i cell-tensor convention that is column a of
             # the UN-transposed tensor: G[:, a][j] = dU_a/dx_j.
             gradU_cell = fvsc.grad_cell_vector(U, bc_Us, mesh, t=t)  # (i,j,cells)
+            if wall is not None:
+                # zg-parity at immersed faces: solid cells take the
+                # adjacent fluid cell's gradient, so the face interp
+                # reproduces the body-fitted zeroGradient boundary value
+                gradU_cell = jnp.stack([
+                    jnp.stack([wall.mirror(gradU_cell[i, j])
+                               for j in range(nd)])
+                    for i in range(nd)])
             gradU_f = fvsc.interpolate(
                 gradU_cell.reshape((nd * nd,) + mesh.shape), bc_zg, mesh,
                 vector=False
@@ -409,9 +467,13 @@ class QHDFoam:
                     diag_coeff=1.0 / dt_new, gamma_faces=nuf_lap, rhs=rhs_U,
                     x0=U, bcs=bc_Us, mesh=mesh, t=t, vector=True,
                     tol=self.cg_tol, maxiter=self.cg_maxiter,
+                    fluid_mask=fluid_mask, solid_wall_dirichlet=True,
                 )
                 U_new = resU.x
             else:
+                # explicit diffusion on immersed walls: the mirror-filled
+                # U already encodes the no-slip ghost, so the unmasked
+                # laplacian reproduces the body-fitted wall flux
                 lapU = fvsc.laplacian_explicit(nuf_lap, U, bc_Us, mesh, t=t,
                                                vector=True)
                 U_new = dt_new * (rhs_U + lapU)
@@ -432,10 +494,14 @@ class QHDFoam:
                         diag_coeff=1.0 / dt_new, gamma_faces=Hif,
                         rhs=T_adv / dt_new, x0=T_adv, bcs=bc_Ts, mesh=mesh,
                         t=t, tol=self.cg_tol, maxiter=self.cg_maxiter,
+                        fluid_mask=fluid_mask,
                     )
                     T_new = resT.x
                 else:
-                    lapT = fvsc.laplacian_explicit(Hif, T_adv, bc_Ts, mesh, t=t)
+                    Hif_m = (tuple(Hif[a] * fmasks[a] for a in range(nd))
+                             if fmasks is not None else Hif)
+                    lapT = fvsc.laplacian_explicit(Hif_m, T_adv, bc_Ts,
+                                                   mesh, t=t)
                     T_new = T_adv + dt_new * lapT
             else:
                 # ---- QHDTEqn.H ------------------------------------------
@@ -457,13 +523,24 @@ class QHDFoam:
                         diag_coeff=1.0 / dt_new, gamma_faces=Hif_lap,
                         rhs=rhs_T, x0=T, bcs=bc_Ts, mesh=mesh, t=t,
                         tol=self.cg_tol, maxiter=self.cg_maxiter,
+                        fluid_mask=fluid_mask,
                     )
                     T_new = resT.x
                 else:
+                    if fmasks is not None:
+                        Hif_lap = tuple(Hif_lap[a] * fmasks[a]
+                                        for a in range(nd))
                     lapT = fvsc.laplacian_explicit(Hif_lap, T, bc_Ts, mesh,
                                                    t=t)
                     T_new = dt_new * (rhs_T + lapT)
 
+            if wall is not None:
+                # solid cells are not prognostic: keep their carried values
+                # (the mirror fill regenerates the wall ghosts next step)
+                sld = jnp.asarray(wall.solid)
+                U_new = jnp.where(sld[None], s.U, U_new)
+                T_new = jnp.where(sld, s.T, T_new)
+                p_new = jnp.where(sld, s.p, p_new)
             return State(U=U_new, T=T_new, p=p_new, t=t + dt_new, dt=dt_new)
 
         return step
