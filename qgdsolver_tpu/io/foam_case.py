@@ -679,12 +679,37 @@ def _read_chemistry(case_dir: str, mix):
                 eq = " ".join(str(x) for x in eq)
             eq = str(eq).strip('"')
             lhs_s, _, rhs_s = eq.partition("=")
+            # OpenFOAM reaction hierarchy words (the reference's
+            # makeChemistryModel registrations,
+            # BasicChemistryModelsQGD_8C_source.html:48-60):
+            # [ir]reversibleArrheniusReaction,
+            # [ir]reversibleThirdBodyArrheniusReaction; third-body
+            # efficiencies from the `coeffs ((name eff) ...)` list.
+            # ("M" in the equation is not a specie and parses away.)
+            word = sub.get("type", "irreversibleArrheniusReaction")
+            if isinstance(word, list):
+                word = word[0]
+            word = str(word)
+            reversible = word.lower().startswith("reversible")
+            third_body = "thirdbody" in word.lower()
+            effs = []
+            raw_eff = sub.get("coeffs", sub.get("efficiencies", []))
+            if isinstance(raw_eff, list):
+                pairs = (raw_eff if raw_eff
+                         and isinstance(raw_eff[0], list) else [raw_eff])
+                for pr in pairs:
+                    if (isinstance(pr, list) and len(pr) == 2
+                            and str(pr[0]) in name_to_idx):
+                        effs.append((name_to_idx[str(pr[0])],
+                                     float(pr[1])))
             reactions.append(chem.Reaction(
                 lhs=_parse_reaction_side(lhs_s, name_to_idx),
                 rhs=_parse_reaction_side(rhs_s, name_to_idx),
                 A=float(sub.get("A", 1.0)),
                 beta=float(sub.get("beta", 0.0)),
-                Ta=float(sub.get("Ta", 0.0))))
+                Ta=float(sub.get("Ta", 0.0)),
+                reversible=reversible, third_body=third_body,
+                efficiencies=tuple(effs)))
 
     comb_word = "laminar" if reactions else "none"
     cp = os.path.join(case_dir, "constant", "combustionProperties")

@@ -25,24 +25,82 @@ from ..core.registry import register
 from .species import MixtureThermo, R_UNIVERSAL
 
 
+P_STD = 101325.0  # standard-state pressure for Kp [Pa]
+
+
 @dataclasses.dataclass(frozen=True)
 class Reaction:
-    """Irreversible Arrhenius reaction: k = A T^beta exp(-Ta/T).
+    """Arrhenius reaction: kf = A T^beta exp(-Ta/T).
 
-    lhs/rhs: {specie_index: stoichiometric coefficient}."""
+    lhs/rhs: ((specie_index, stoichiometric coefficient), ...).
+
+    reversible: backward rate kr = kf/Kc with the equilibrium constant from
+    the species' JANAF Gibbs energies (OpenFOAM reversibleArrheniusReaction;
+    the reference registers the full reaction hierarchy via
+    makeChemistryModel, BasicChemistryModelsQGD_8C_source.html:48-60).
+
+    third_body: the rate is multiplied by [M] = sum_i eff_i*conc_i with
+    per-specie efficiencies (default 1.0; OpenFOAM thirdBodyArrhenius
+    `coeffs` list)."""
 
     lhs: tp.Tuple[tp.Tuple[int, float], ...]
     rhs: tp.Tuple[tp.Tuple[int, float], ...]
     A: float
     beta: float = 0.0
     Ta: float = 0.0  # activation temperature Ea/Ru
+    reversible: bool = False
+    third_body: bool = False
+    efficiencies: tp.Tuple[tp.Tuple[int, float], ...] = ()
+
+    def kf(self, T):
+        return self.A * jnp.power(T, self.beta) * jnp.exp(
+            -self.Ta / jnp.maximum(T, 1.0))
+
+    def equilibrium_kc(self, mix, T):
+        """Kc(T) = Kp*(p0/(Ru T))^dnu, Kp = exp(-dG0/(Ru T)); molar Gibbs
+        from the JANAF polynomials (g/(Ru T) = h/(R_i T) - s/R_i, the
+        specific-over-R ratios equal the molar-over-Ru ones)."""
+        dg = 0.0
+        dnu = 0.0
+        for sgn, side in ((-1.0, self.lhs), (1.0, self.rhs)):
+            for i, nu in side:
+                sp = mix.species[i]
+                if sp.janaf is None:
+                    raise NotImplementedError(
+                        f"reversible reaction requires JANAF data for "
+                        f"{sp.name} (no entropy in const-cp species)")
+                g_over_rut = (sp.janaf.h_abs(T) / (sp.janaf.R * T)
+                              - sp.janaf.s_abs(T) / sp.janaf.R)
+                dg = dg + sgn * nu * g_over_rut
+                dnu = dnu + sgn * nu
+        kp = jnp.exp(-dg)
+        return kp * jnp.power(P_STD / (R_UNIVERSAL * T), dnu)
 
     def rate(self, conc, T):
-        """omega [kmol/m^3/s] from molar concentrations conc[i]."""
-        k = self.A * jnp.power(T, self.beta) * jnp.exp(-self.Ta / jnp.maximum(T, 1.0))
-        w = k
+        """Forward omega [kmol/m^3/s] (legacy irreversible path)."""
+        w = self.kf(T)
         for i, nu in self.lhs:
             w = w * jnp.power(jnp.maximum(conc[i], 0.0), nu)
+        return w
+
+    def net_rate(self, conc, T, mix=None):
+        """Net omega incl. the reverse rate and third-body factor."""
+        k = self.kf(T)
+        wf = k
+        for i, nu in self.lhs:
+            wf = wf * jnp.power(jnp.maximum(conc[i], 0.0), nu)
+        w = wf
+        if self.reversible:
+            kc = self.equilibrium_kc(mix, T)
+            wr = k / jnp.maximum(kc, 1e-300)
+            for i, nu in self.rhs:
+                wr = wr * jnp.power(jnp.maximum(conc[i], 0.0), nu)
+            w = w - wr
+        if self.third_body:
+            eff = dict(self.efficiencies)
+            m = sum(eff.get(i, 1.0) * jnp.maximum(conc[i], 0.0)
+                    for i in range(len(conc)))
+            w = w * m
         return w
 
 
@@ -74,7 +132,7 @@ class Laminar(CombustionModel):
         conc = [rho * Y[i] / mix.species[i].W for i in range(ns)]  # kmol/m^3
         rr = [jnp.zeros_like(T) for _ in range(ns)]
         for rxn in self.reactions:
-            w = rxn.rate(conc, T)
+            w = rxn.net_rate(conc, T, mix)
             for i, nu in rxn.lhs:
                 rr[i] = rr[i] - nu * w * mix.species[i].W
             for i, nu in rxn.rhs:
