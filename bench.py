@@ -207,6 +207,15 @@ def main():
         except Exception as e:  # noqa: BLE001
             out["big_error"] = _err(e)
             traceback.print_exc(file=sys.stderr)
+        try:  # plain-physics tiled rate at the same size (r4: the dt
+            # reduction is folded into the slab kernel)
+            pl_solver, pl_state = cases.supersonic_jet(
+                shape=(4096, 2048), dtype=np.float32)
+            pl_pps, _ = _measure(pl_solver, pl_state, n_steps=60, repeats=2)
+            out["big_plain_points_per_s"] = round(pl_pps, 1)
+            out["big_plain_vs_baseline"] = round(pl_pps / BASELINE_PPS, 4)
+        except Exception as e:  # noqa: BLE001
+            out["big_plain_error"] = _err(e)
         print(json.dumps(out), flush=True)
 
     # --- 3D: 256x126x126 duct, fused x-slab pipeline vs composable --------

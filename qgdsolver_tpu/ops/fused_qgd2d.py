@@ -534,7 +534,8 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
             return jnp.where(outflow, interior, 2.0 * v - interior)
         return interior + v * d  # fixedGradient (outward-normal convention)
 
-    def frame_fn(dtv, flags, ph, Th, ux, uy, scf, bc_refs, emit=None):
+    def frame_fn(dtv, flags, ph, Th, ux, uy, scf, bc_refs, emit=None,
+                 emit_dt=None, emit_sc=None):
         """Pure per-frame physics: one explicit QGD step on a ghost-padded
         (NR, Wp) frame set.  flags = (is_lo, is_hi, is_lo_y, is_hi_y), each a
         Python bool or a traced scalar bool.  Returns
@@ -816,6 +817,7 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
                              jnp.where(colid == M + 1, hi, arr))
 
         results = []
+        fresh = {}
         for k, name in enumerate(("p", "T", "ux", "uy")):
             arr = fields[name]
             # y-ghost lanes for the interior rows (full-frame select), then
@@ -850,6 +852,111 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
                 results.append(triple)
             else:
                 emit(k, *triple)
+            if emit_dt is not None and (
+                    name in ("T", "ux", "uy")
+                    or (emit_sc is not None and name == "p")):
+                fresh[name] = triple
+
+        if emit_dt is not None:
+            # Courant/tau partials over the FRESH fields — the start state
+            # of the NEXT step, whose dt controller consumes them (folds
+            # the tiled pipeline's XLA dt pre-pass into the grid; the
+            # inter-slab boundary faces are completed by a thin strip pass
+            # in the wrapper).  x-faces: between live rows 1..nx-1, plus
+            # the physical boundary faces against the fresh ghost rows on
+            # edge slabs; y-faces: all lanes 0..M of the live rows.
+            def full(name):
+                b, glo, ghi = fresh[name]
+                b = jnp.where(rowid == 0, glo,
+                              jnp.where(rowid == NR - 1, ghi, b))
+                return b
+
+            Tn_f = full("T")
+            uxn_g = full("ux")
+            uyn_g = full("uy")
+            gRTn = (gamma * R) * Tn_f
+            rcsn = jax.lax.rsqrt(gRTn)
+            cn = gRTn * rcsn
+            neg = jnp.float32(-np.inf)
+            pos = jnp.float32(np.inf)
+            # x-faces at rows r..r+1: include r=0 / r=NR-2 only on the
+            # physical edges (fresh ghosts); interior slab-boundary faces
+            # (stale halos) are excluded and strip-completed outside
+            lo_row = jnp.where(is_lo, 0, 1)
+            hi_row = jnp.where(is_hi, NR - 2, NR - 3)
+            live_x = jnp.logical_and(
+                jnp.logical_and(rowid >= lo_row, rowid <= hi_row),
+                jnp.logical_and(colid >= 1, colid <= M))
+            wave_x = jnp.abs(0.5 * (uxn_g + rup(uxn_g))) \
+                + 0.5 * (cn + rup(cn))
+            live_y = jnp.logical_and(
+                jnp.logical_and(rowid >= 1, rowid <= NR - 2), colid <= M)
+            wave_y = jnp.abs(0.5 * (uyn_g + shl(uyn_g))) \
+                + 0.5 * (cn + shl(cn))
+            co_rate = jnp.maximum(
+                jnp.max(jnp.where(live_x, wave_x, neg)) * (1.0 / hfx),
+                jnp.max(jnp.where(live_y, wave_y, neg)) * (1.0 / hfy))
+            # tau faces use zero-gradient COEFFICIENT ghosts: interior-face
+            # averages, plus the raw edge-cell value at PHYSICAL boundary
+            # faces only (x edges gate on is_lo/is_hi; y edges are always
+            # physical — the tiled pipeline has no y decomposition)
+            live_rows = jnp.logical_and(rowid >= 1, rowid <= NR - 2)
+            live_cx = jnp.logical_and(
+                jnp.logical_and(rowid >= 1, rowid <= NR - 3),
+                jnp.logical_and(colid >= 1, colid <= M))
+            live_cy = jnp.logical_and(
+                live_rows, jnp.logical_and(colid >= 1, colid <= M - 1))
+            edge_x = jnp.logical_and(
+                jnp.logical_or(jnp.logical_and(rowid == 1, is_lo),
+                               jnp.logical_and(rowid == NR - 2, is_hi)),
+                jnp.logical_and(colid >= 1, colid <= M))
+            edge_y = jnp.logical_and(
+                live_rows,
+                jnp.logical_or(colid == 1, colid == M))
+            if has_varsc:
+                cf_x = 0.5 * (cn + rup(cn))
+                cf_y = 0.5 * (cn + shl(cn))
+                cmaxx = jnp.maximum(
+                    jnp.max(jnp.where(live_cx, cf_x, neg)),
+                    jnp.max(jnp.where(edge_x, cn, neg)))
+                cmaxy = jnp.maximum(
+                    jnp.max(jnp.where(live_cy, cf_y, neg)),
+                    jnp.max(jnp.where(edge_y, cn, neg)))
+                tau_min = jnp.minimum((alpha / cmaxx) * hfx,
+                                      (alpha / cmaxy) * hfy)
+            else:
+                aocn = alpha * rcsn
+                af_x = 0.5 * (aocn + rup(aocn))
+                af_y = 0.5 * (aocn + shl(aocn))
+                tfx = jnp.minimum(
+                    jnp.min(jnp.where(live_cx, af_x, pos)),
+                    jnp.min(jnp.where(edge_x, aocn, pos)))
+                tfy = jnp.minimum(
+                    jnp.min(jnp.where(live_cy, af_y, pos)),
+                    jnp.min(jnp.where(edge_y, aocn, pos)))
+                tau_min = jnp.minimum(tfx * hfx, tfy * hfy)
+            emit_dt(co_rate, tau_min)
+
+            if emit_sc is not None:
+                # RAW varScModel5 sensor over the FRESH fields — next
+                # step's pre-smooth Sc (VarScModel5.sc_raw_update folded
+                # into the slab kernel; arithmetic mirrors fvsc.grad_cell
+                # on a uniform mesh).  Rows whose x-gradient reads the
+                # stale slab halo are strip-recomputed by the wrapper.
+                pn_f = full("p")
+                # psi-form rho (p * 1/(R T)) for bitwise agreement with
+                # th.rho_from_p_T in the composable sc_raw_update
+                rho_z = zg_override(pn_f * (1.0 / (R * Tn_f)))
+                fa = 0.5 * rho_z + 0.5 * rup(rho_z)
+                gx = (fa - rdn(fa)) / dx
+                fb = 0.5 * rho_z + 0.5 * shl(rho_z)
+                gy = (fb - shr(fb)) / dy
+                mag = jnp.sqrt(gx * gx + gy * gy)
+                sc_raw = (tm.rC * (mag * h_cell / rho_z)
+                          + (1.0 - tm.rC) * scf)
+                sc_raw = jnp.clip(sc_raw, tm.minSc, tm.maxSc)
+                sc_raw = jnp.maximum(sc_raw, tm.cqSc)
+                emit_sc(sc_raw)
         return results, dt_new
 
     if _frame_fn:
@@ -1341,6 +1448,15 @@ class TiledState(tp.NamedTuple):
     t: jax.Array
     dt: jax.Array
     sc: tp.Any = None
+    # carried Courant/tau rates of the CURRENT fields (computed by the
+    # previous kernel pass over its fresh outputs + the inter-slab strip
+    # completion) — replaces the full-frame XLA dt pre-pass
+    co_rate: tp.Any = None
+    tau_rate: tp.Any = None
+    # carried RAW varScModel5 sensor of the CURRENT fields (pre-smooth,
+    # emitted by the previous kernel pass; rows adjacent to slab
+    # boundaries are strip-recomputed before the smooth)
+    sc_raw: tp.Any = None
 
 
 # Live-set model of the straight-line slab kernel: Mosaic holds ~50
@@ -1438,6 +1554,10 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
     frame = build_fused_step(solver, _local_nx=SLAB, _local_ny=M,
                              _distributed=True, _y_distributed=False,
                              _tiled=True, _frame_fn=True)
+    # fold the raw sensor into the kernel when its inputs are scalars
+    # (per-cell cqSc floors / cellSets keep the XLA pre-pass)
+    fold_sc = (has_varsc and np.ndim(tm.cqSc) == 0
+               and tm.const_sc_mask is None)
     # axis-0 lane profiles are already global-width (local ny == global ny)
     _, bc_inputs_np = _compile_bcs(solver, mesh, Wp, nr=None, m=M)
     bc_inputs = tuple(jnp.asarray(a, dtype=dtype) for a in bc_inputs_np)
@@ -1477,6 +1597,10 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
         wp_, wT, wux, wuy = (window(k, True) for k in range(4))
         wsc = window(4, False) if has_varsc else None
 
+        out_co = refs[off + 12]
+        out_tau = refs[off + 13]
+        out_sc = refs[off + 14] if fold_sc else None
+
         def emit(k, body, glo, ghi):
             out_int[k][:] = body[1:SLAB + 1]
 
@@ -1488,8 +1612,18 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
             def _():
                 out_gh[k][:] = jnp.broadcast_to(ghi, (8, Wp))
 
+        def emit_dt(co_rate, tau_min):
+            out_co[:] = jnp.full((8, LANE), co_rate, dtype)
+            out_tau[:] = jnp.full((8, LANE), tau_min, dtype)
+
+        emit_sc = None
+        if fold_sc:
+            def emit_sc(sc_raw):
+                out_sc[:] = sc_raw[1:SLAB + 1]
+
         frame(dt_ref[0, 0], (is_lo, is_hi, True, True),
-              wp_, wT, wux, wuy, wsc, bc_vals, emit=emit)
+              wp_, wT, wux, wuy, wsc, bc_vals, emit=emit, emit_dt=emit_dt,
+              emit_sc=emit_sc)
 
     vm = pltpu.VMEM
     a_spec = pl.BlockSpec((SLAB, Wp), lambda i: (i, 0), memory_space=vm)
@@ -1500,18 +1634,22 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
                           lambda i: (jnp.minimum((i + 1) * sb8, nb8 - 1), 0),
                           memory_space=vm)
     g_spec = pl.BlockSpec((8, Wp), lambda i: (0, 0), memory_space=vm)
+    r_spec = pl.BlockSpec((8, LANE), lambda i: (i, 0), memory_space=vm)
     bc_specs = [pl.BlockSpec(arr.shape, lambda i, nd=arr.ndim: (0,) * nd,
                              memory_space=vm) for arr in bc_inputs]
     fshape = jax.ShapeDtypeStruct((nx, Wp), dtype)
     gshape = jax.ShapeDtypeStruct((8, Wp), dtype)
+    rshape = jax.ShapeDtypeStruct((n_slabs * 8, LANE), dtype)
     pcall = pl.pallas_call(
         kernel,
         grid=(n_slabs,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [a_spec, b_spec, c_spec] * n_state
         + [g_spec] * 8 + bc_specs,
-        out_specs=[a_spec] * 4 + [g_spec] * 8,
-        out_shape=[fshape] * 4 + [gshape] * 8,
+        out_specs=[a_spec] * 4 + [g_spec] * 8 + [r_spec] * 2
+        + ([a_spec] if fold_sc else []),
+        out_shape=[fshape] * 4 + [gshape] * 8 + [rshape] * 2
+        + ([fshape] if fold_sc else []),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -1523,13 +1661,11 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
     R, gamma = f(th.R), f(th.gamma)
     alpha = f(tm.alpha)
 
-    def _dt_prepass(ts: TiledState):
-        """QGDCourantNo.H + setDeltaT-QGDQHD.H over the cell-row frames —
-        the same expressions as the whole-frame kernel's in-frame block
-        (boundary faces from the carried ghost rows; coefficient fields get
-        zero-gradient ghosts), evaluated by XLA so the reduction spans every
-        slab."""
-        dtv = ts.dt.astype(dtype)
+    def _init_rates(ts: TiledState):
+        """Courant/tau RATES of the carried frames (QGDCourantNo.H without
+        the dt factor) — used once at to_fused time; thereafter the kernel
+        emits per-slab partials over its fresh outputs and the step only
+        strip-completes the inter-slab faces."""
         TI = ts.T[:, :W]
         uxI = ts.ux[:, :W]
         uyI = ts.uy[:, :W]
@@ -1556,7 +1692,7 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
         # y-faces: every cell row, faces at lanes 0..M (lane ghosts live)
         wy = jnp.max(jnp.abs(0.5 * (uyI[:, :-1] + uyI[:, 1:]))
                      + 0.5 * (c[:, :-1] + c[:, 1:]))
-        co = jnp.maximum(wx * dtv / dx, wy * dtv / dy)
+        co_rate = jnp.maximum(wx / dx, wy / dy)
 
         # min face tau with zero-gradient coefficient ghosts: boundary faces
         # collapse to the edge-cell value; the division/mult by positive
@@ -1581,17 +1717,99 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
                               jnp.minimum(jnp.min(aoc[:, 1:2]),
                                           jnp.min(aoc[:, M:M + 1])))
             tau_min = jnp.minimum(tfx * dx, tfy * dy)
-        return common.set_delta_t(dtv, co, tau_min, tc)
+        return co_rate, tau_min
+
+    def _strip_rates(Tn, uxn):
+        """Inter-slab x-face Courant/tau rates from the FRESH frames: the
+        kernel partials exclude faces against stale halos; this thin pass
+        reads only the 2*(n_slabs-1) boundary rows.  Arithmetic mirrors the
+        kernel's exactly (c = gRT*rsqrt, aoc = alpha*rsqrt) so the combined
+        reduction is bitwise the whole-frame one."""
+        lo = slice(SLAB - 1, nx - 1, SLAB)
+        hi = slice(SLAB, nx, SLAB)
+        T_lo, T_hi = Tn[lo, :W], Tn[hi, :W]
+        u_lo, u_hi = uxn[lo, :W], uxn[hi, :W]
+        g_lo, g_hi = (gamma * R) * T_lo, (gamma * R) * T_hi
+        r_lo, r_hi = jax.lax.rsqrt(g_lo), jax.lax.rsqrt(g_hi)
+        c_lo, c_hi = g_lo * r_lo, g_hi * r_hi
+        wave = (jnp.abs(0.5 * (u_lo + u_hi))
+                + 0.5 * (c_lo + c_hi))[:, 1:M + 1]
+        co_rate = jnp.max(wave) * (1.0 / dx)
+        if has_varsc:
+            cf = (0.5 * (c_lo + c_hi))[:, 1:M + 1]
+            tau = (alpha / jnp.max(cf)) * dx
+        else:
+            af = (0.5 * (alpha * r_lo + alpha * r_hi))[:, 1:M + 1]
+            tau = jnp.min(af) * dx
+        return co_rate, tau
+
+    def _sc_strip_fix(sc_raw_cells, ts):
+        """Recompute the raw sensor at the cell rows whose in-kernel
+        x-gradient read a stale slab halo (rows i*S-1 and i*S per interior
+        boundary), from the carried fresh frames — arithmetic mirrors the
+        kernel's exactly."""
+        def rho_rows(sl):
+            row_p = ts.p[sl, :W]
+            row_T = ts.T[sl, :W]
+            r = row_p * (1.0 / (R * row_T))
+            # zero-gradient lane ghosts (coefficient convention)
+            return jnp.concatenate([r[:, 1:2], r[:, 1:-1], r[:, -2:-1]],
+                                   axis=1)
+
+        a = rho_rows(slice(SLAB - 2, nx - 2, SLAB))
+        b = rho_rows(slice(SLAB - 1, nx - 1, SLAB))
+        c_ = rho_rows(slice(SLAB, nx, SLAB))
+        d = rho_rows(slice(SLAB + 1, nx + 1, SLAB))
+
+        def shl1(x):
+            return jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+
+        def shr1(x):
+            return jnp.concatenate([x[:, 0:1], x[:, :-1]], axis=1)
+
+        def raw_row(rm, r0, rp, sc_prev_row):
+            fa_lo = 0.5 * rm + 0.5 * r0
+            fa_hi = 0.5 * r0 + 0.5 * rp
+            gx = (fa_hi - fa_lo) / dx
+            fb = 0.5 * r0 + 0.5 * shl1(r0)
+            gy = (fb - shr1(fb)) / dy
+            mag = jnp.sqrt(gx * gx + gy * gy)
+            sc = (tm.rC * (mag * h_cell0 / r0)
+                  + (1.0 - tm.rC) * sc_prev_row)
+            sc = jnp.clip(sc, tm.minSc, tm.maxSc)
+            return jnp.maximum(sc, float(tm.cqSc))
+
+        sc_prev_b = ts.sc[slice(SLAB - 1, nx - 1, SLAB), :W]
+        sc_prev_c = ts.sc[slice(SLAB, nx, SLAB), :W]
+        row_b = raw_row(a, b, c_, sc_prev_b)[:, 1:M + 1]
+        row_c = raw_row(b, c_, d, sc_prev_c)[:, 1:M + 1]
+        sc_raw_cells = sc_raw_cells.at[SLAB - 1: nx - 1: SLAB].set(row_b)
+        return sc_raw_cells.at[SLAB: nx: SLAB].set(row_c)
+
+    h_cell0 = float(np.asarray(mesh.h_cell).reshape(-1)[0])
 
     def step(ts: TiledState) -> TiledState:
-        dt_new = _dt_prepass(ts)
+        dtv = ts.dt.astype(dtype)
+        # setDeltaT from the CARRIED rates (emitted by the previous kernel
+        # pass over its fresh fields + strip completion) — no frame reads
+        dt_new = common.set_delta_t(dtv, ts.co_rate * dtv, ts.tau_rate, tc)
         dts = jnp.reshape(dt_new, (1, 1))
         frames = [ts.p, ts.T, ts.ux, ts.uy]
         sc_new = None
         if has_varsc:
-            rho_int = th.rho_from_p_T(ts.p[:, 1:M + 1], ts.T[:, 1:M + 1])
-            sc_int = tm.sc_update(mesh, rho_int,
-                                  ts.sc[:, 1:M + 1]).astype(dtype)
+            if fold_sc:
+                sc_raw_c = ts.sc_raw[:, 1:M + 1]
+                if n_slabs > 1:
+                    sc_raw_c = _sc_strip_fix(sc_raw_c, ts)
+                from ..physics.qgdcoeffs import fvc_smooth
+
+                sc_int = fvc_smooth(sc_raw_c,
+                                    tm.smoothCoeff).astype(dtype)
+            else:
+                rho_int = th.rho_from_p_T(ts.p[:, 1:M + 1],
+                                          ts.T[:, 1:M + 1])
+                sc_int = tm.sc_update(mesh, rho_int,
+                                      ts.sc[:, 1:M + 1]).astype(dtype)
             sc_new = jnp.pad(jnp.pad(sc_int, ((0, 0), (1, 1)), mode="edge"),
                              ((0, 0), (0, Wp - W)), mode="edge")
             frames.append(sc_new)
@@ -1602,11 +1820,33 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
             ops += [ts.gl[k], ts.gh[k]]
         ops += list(bc_inputs)
         outs = pcall(*ops)
+        co_rate = jnp.max(outs[12])
+        tau_rate = jnp.min(outs[13])
+        if n_slabs > 1:
+            co_s, tau_s = _strip_rates(outs[1], outs[2])
+            co_rate = jnp.maximum(co_rate, co_s)
+            tau_rate = jnp.minimum(tau_rate, tau_s)
         return TiledState(p=outs[0], T=outs[1], ux=outs[2], uy=outs[3],
                           gl=tuple(outs[4:8]), gh=tuple(outs[8:12]),
-                          t=ts.t + dt_new, dt=dt_new, sc=sc_new)
+                          t=ts.t + dt_new, dt=dt_new, sc=sc_new,
+                          co_rate=co_rate, tau_rate=tau_rate,
+                          sc_raw=outs[14] if fold_sc else None)
 
-    to_fused, from_fused = _make_tiled_state_io(solver, nx, M, Wp, dtype)
+    to_fused0, from_fused = _make_tiled_state_io(solver, nx, M, Wp, dtype)
+
+    def to_fused(s):
+        ts = to_fused0(s)
+        co_rate, tau_rate = _init_rates(ts)
+        sc_raw = None
+        if fold_sc:
+            rho_int = th.rho_from_p_T(ts.p[:, 1:M + 1], ts.T[:, 1:M + 1])
+            raw = tm.sc_raw_update(mesh, rho_int,
+                                   ts.sc[:, 1:M + 1]).astype(dtype)
+            sc_raw = jnp.pad(jnp.pad(raw, ((0, 0), (1, 1)), mode="edge"),
+                             ((0, 0), (0, Wp - W)), mode="edge")
+        return ts._replace(co_rate=co_rate, tau_rate=tau_rate,
+                           sc_raw=sc_raw)
+
     return step, to_fused, from_fused
 
 

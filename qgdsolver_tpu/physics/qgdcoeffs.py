@@ -224,20 +224,30 @@ def fvc_smooth(field, coeff, max_iters: int = 10_000):
 
     max_ratio = 1.0 + coeff
 
-    def body(carry):
-        f, _, it = carry
-        fn = jnp.maximum(f, _neighbour_max(f) / max_ratio)
-        # the termination test is GLOBAL under spmd (all shards must agree
-        # on the fixed point — computed in the body so the while cond stays
-        # collective-free)
-        return fn, spmd.all_any(jnp.any(fn > f)), it + 1
+    def body_k(k):
+        def body(carry):
+            f, _, it = carry
+            # several relaxation rings per convergence test: the iteration
+            # is monotone and idempotent at the fixed point, so chunking
+            # changes neither the result nor its bitwise value — it only
+            # amortises the global any-reduce; the FIRST evaluation uses a
+            # single ring so an already-smooth field exits at 1-ring cost
+            fn = f
+            for _ in range(k):
+                fn = jnp.maximum(fn, _neighbour_max(fn) / max_ratio)
+            # the termination test is GLOBAL under spmd (all shards must
+            # agree on the fixed point — computed in the body so the while
+            # cond stays collective-free)
+            return fn, spmd.all_any(jnp.any(fn > f)), it + k
+
+        return body
 
     def cond(carry):
         _, changed, it = carry
         return jnp.logical_and(changed, it < max_iters)
 
-    f1, changed, it = body((field, True, jnp.asarray(0)))
-    out, _, _ = jax.lax.while_loop(cond, body, (f1, changed, it))
+    f1, changed, it = body_k(1)((field, True, jnp.asarray(0)))
+    out, _, _ = jax.lax.while_loop(cond, body_k(4), (f1, changed, it))
     return out
 
 
@@ -264,22 +274,28 @@ class VarScModel5(TauModel):
     const_sc_mask: tp.Any = None   # 0/1 cell array
     const_sc_value: float = 1.0
 
-    def sc_update(self, mesh: Mesh, rho, sc_prev):
-        """The relaxed sensor update alone: Sc <- rC*(|grad rho|*h/rho) +
-        (1-rC)*Sc_prev, clamp/floor/cellSet/smooth.  Shared verbatim by
-        `correct()` and the fused-kernel pre-pass (ops.fused_qgd2d) so both
-        paths produce bit-identical Sc fields."""
+    def sc_raw_update(self, mesh: Mesh, rho, sc_prev):
+        """The PRE-SMOOTH sensor update: Sc <- rC*(|grad rho|*h/rho) +
+        (1-rC)*Sc_prev, clamp, bad-quality floor, const-Sc cellSet —
+        reference ordering varScModel5_8C:214-232 up to the fvc::smooth.
+        Split out so the tiled fused pipeline can fold it into the slab
+        kernel (only the global smooth fixed point stays XLA-side)."""
         grad_rho = fvsc.grad_cell(rho, _zg(mesh.ndim), mesh)
         mag_grad = jnp.sqrt(jnp.sum(jnp.square(grad_rho), axis=0))
         sc = self.rC * (mag_grad * mesh.h_cell / rho) + (1.0 - self.rC) * sc_prev
-        # reference ordering (varScModel5_8C:214-232): clamp, bad-quality
-        # floor, const-Sc cellSet overwrite, THEN fvc::smooth
         sc = jnp.clip(sc, self.minSc, self.maxSc)
         sc = jnp.maximum(sc, self.cqSc)
         if self.const_sc_mask is not None:
             sc = jnp.where(jnp.asarray(self.const_sc_mask) > 0,
                            self.const_sc_value, sc)
-        return fvc_smooth(sc, self.smoothCoeff)
+        return sc
+
+    def sc_update(self, mesh: Mesh, rho, sc_prev):
+        """The full relaxed sensor update (raw + fvc::smooth).  Shared
+        verbatim by `correct()` and the fused-kernel pre-passes
+        (ops.fused_qgd2d) so both paths produce bit-identical Sc fields."""
+        return fvc_smooth(self.sc_raw_update(mesh, rho, sc_prev),
+                          self.smoothCoeff)
 
     def correct(self, mesh: Mesh, *, c, p, rho, sc_prev, **_):
         tau = self.alpha * mesh.h_cell / c

@@ -233,3 +233,36 @@ def test_time_dependent_bc_rejected(jet):
     s2 = dataclasses.replace(solver, bc_U=bc_U)
     assert not fused_qgd2d.supported(s2)
     assert not s2.fused_supported()
+
+
+def test_tiled_varsc_sensor_active_matches_whole_frame():
+    """Strip-fix coverage for the folded raw sensor (r4): a density bump
+    straddling a slab boundary activates the sensor exactly at the rows
+    whose in-kernel gradient read a stale halo; the tiled pipeline must
+    still track the whole-frame kernel."""
+    solver, state = cases.supersonic_jet_varsc(shape=(64, 32),
+                                               dtype=np.float32)
+    x = np.asarray(solver.mesh.centers[0])
+    # slab_rows=16 -> boundaries at rows 16/32/48; bump centered on row 32
+    bump = (1.0 + 0.35 * (np.abs(x[:, None] - x[32]) < 6 * (x[1] - x[0]))
+            ).astype(np.float32)
+    state = state._replace(rho=state.rho * bump, rhoE=state.rhoE * bump)
+    step_w, to_w, from_w = fused_qgd2d.build_fused_step(solver,
+                                                        auto_layout=False)
+    step_t, to_t, from_t = fused_qgd2d.build_tiled_fused_step(
+        solver, slab_rows=16)
+    s = jax.jit(solver.make_step())(state)  # seed sc/pbc
+    fw, ft = to_w(s), to_t(s)
+    for _ in range(8):
+        fw = jax.jit(step_w)(fw)
+        ft = jax.jit(step_t)(ft)
+    sw, st = from_w(fw), from_t(ft)
+    assert float(np.max(np.asarray(sw.sc))) > 0.1, "sensor must be active"
+    np.testing.assert_allclose(np.asarray(fw.dt), np.asarray(ft.dt),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.sc), np.asarray(sw.sc),
+                               rtol=1e-4, atol=1e-5)
+    for name in ("rho", "rhoU", "rhoE"):
+        a, b = np.asarray(getattr(sw, name)), np.asarray(getattr(st, name))
+        scale = np.max(np.abs(a))
+        assert np.max(np.abs(a - b)) / scale < 2e-5, name
