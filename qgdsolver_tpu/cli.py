@@ -123,17 +123,57 @@ def run_case(case_dir: str, max_steps=None, chunk: int = 50,
         log("writing fields to %s" % tdir)
         return tdir
 
+    adjustable = (not by_steps
+                  and getattr(solver, "time", None) is not None
+                  and solver.time.adjust_time_step)
+
+    def _set_dt(s, dt_val):
+        # carried-dt surgery between jitted chunks (no recompile): the
+        # controller's growth cap is exactly 1.2x, so seeding
+        # dt = (target - t)/1.2 makes the next step land ON the target
+        # when the CFL allows — Time::adjustDeltaT parity
+        # (setDeltaT-QGDQHD_8H_source.html + adjustableRunTime)
+        import jax.numpy as jnp
+
+        if hasattr(s, "dt"):
+            return s._replace(dt=jnp.asarray(dt_val, dtype=s.dt.dtype))
+        return s._replace(fluid=s.fluid._replace(
+            dt=jnp.asarray(dt_val, dtype=s.fluid.dt.dtype)))
+
+    run1 = jax.jit(lambda s: common.run_steps(step, s, 1))
+
     t_wall = time.perf_counter()
     while t < end_time and (max_steps is None or n_steps < max_steps):
+        target = end_time
+        if adjustable and next_write is not None:
+            target = min(target, next_write)
         k = chunk if max_steps is None else min(chunk, max_steps - n_steps)
-        if math.isfinite(end_time):
-            # bound the tail chunk by the current-dt estimate so the run
-            # stops at the first step crossing endTime instead of
-            # overshooting by a whole chunk (dt itself is not trimmed to
-            # land exactly on endTime — documented deviation from
-            # adjustableRunTime)
-            dt_cur = max(_state_dt(state), 1e-300)
-            k = max(1, min(k, int((end_time - t) / dt_cur) + 1))
+        dt_cur = max(_state_dt(state), 1e-300)
+        if math.isfinite(target):
+            remaining = target - t
+            if adjustable and remaining <= dt_cur * 1.2 * (1 + 1e-12):
+                # landing step: trim dt to hit the write/end instant
+                state = _set_dt(state, remaining / 1.2)
+                state = jax.block_until_ready(run1(state))
+                n_steps += 1
+                t = _state_time(state)
+                log("Time = %.8g  deltaT = %.8g  (%d steps, %.1f s)"
+                    % (t, _state_dt(state), n_steps,
+                       time.perf_counter() - t_wall))
+                if next_write is not None and t >= next_write * (1 - 1e-9):
+                    write()
+                    while next_write <= t * (1 + 1e-9):
+                        next_write += write_interval
+                continue
+            # bound the chunk so the run approaches the next stop without
+            # overshooting it; dt may grow 1.2x per step COMPOUNDING, so
+            # the k-step distance is at most dt*1.2*(1.2^k - 1)/0.2
+            if adjustable:
+                k_geo = int(math.log(remaining * (0.2 / 1.2) / dt_cur + 1.0)
+                            / math.log(1.2))
+                k = max(1, min(k, k_geo))
+            else:
+                k = max(1, min(k, int(remaining / dt_cur) + 1))
         state = run(state) if k == chunk else jax.jit(
             lambda s, _k=k: common.run_steps(step, s, _k))(state)
         state = jax.block_until_ready(state)

@@ -104,3 +104,30 @@ def test_cli_multi_device_matches_single(tmp_path):
         scale = np.max(np.abs(a))
         np.testing.assert_allclose(b / scale, a / scale, rtol=1e-5,
                                    atol=1e-5, err_msg=fn)
+
+
+def test_cli_adjustable_run_time_lands_on_write_instants(tmp_path):
+    """adjustableRunTime parity (r3 weak #7): dt is trimmed between jitted
+    chunks (carried-dt surgery, growth cap 1.2x) so writes land ON the
+    writeInterval multiples and the run lands ON endTime — reference
+    Time::adjustDeltaT semantics."""
+    case = tmp_path / "jet"
+    shutil.copytree(CASE, case)
+    w = 1.5e-6
+    end = 4.5e-6
+    ctrl = (case / "system" / "controlDict").read_text()
+    ctrl = ctrl.replace("endTime         0.01;", "endTime         %g;" % end)
+    ctrl = ctrl.replace("writeInterval   0.001;", "writeInterval   %g;" % w)
+    (case / "system" / "controlDict").write_text(ctrl)
+
+    cli.run_case(str(case), chunk=10, log=lambda *_: None)
+    tdirs = sorted((float(d) for d in os.listdir(case)
+                    if d not in ("0", "system", "constant")
+                    and os.path.isdir(case / d)))
+    # every write instant is an exact multiple of the interval (up to f32
+    # time accumulation), and the final write sits on endTime
+    assert len(tdirs) >= 3, tdirs
+    for tv in tdirs:
+        k = round(tv / w)
+        assert abs(tv - k * w) < 5e-6 * w + 1e-11, (tv, k * w)
+    assert abs(tdirs[-1] - end) < 5e-6 * end, tdirs[-1]

@@ -145,3 +145,12 @@ def test_segmented_split_side_spmd_parity():
     solver, state = foam_case.build_case(case)
     assert isinstance(solver.bc_U[0, 0], bcm.Segmented)
     _parity(solver, state, 10, _dmesh(2, 4), rtol=1e-6)
+
+
+def test_3d_duct_spmd_parity():
+    """3D decomposition: the duct case sharded (2, 2) over (x, y) with z
+    whole — the composable 3D step's ghost exchange and reductions under
+    shard_map match serial (the multi-chip story covers 3D too)."""
+    solver, state = cases.supersonic_duct_3d(shape=(16, 8, 6),
+                                             dtype=np.float64)
+    _parity(solver, state, 6, _dmesh(2, 2), rtol=1e-12)
