@@ -770,6 +770,11 @@ class DeviceISAT(ChemistryTabulation):
             "q": jnp.zeros((cap,), dtype=dtype),
             "hits": jnp.zeros((2,), dtype=jnp.uint32),
             "lookups": jnp.zeros((2,), dtype=jnp.uint32),
+            # live-slot overwrites (a miss landing on a valid slot with a
+            # different key) — the open-addressed table's eviction metric;
+            # a rising eviction rate means the capacity is too small for
+            # the state-space being visited (pathological miss rates)
+            "evictions": jnp.zeros((2,), dtype=jnp.uint32),
         }
 
     @staticmethod
@@ -853,6 +858,9 @@ class DeviceISAT(ChemistryTabulation):
             "hits": self._ctr_add(table["hits"], jnp.sum(hit)),
             "lookups": self._ctr_add(table["lookups"],
                                      jnp.asarray(Tf.shape[0])),
+            "evictions": self._ctr_add(
+                table["evictions"],
+                jnp.sum(jnp.logical_and(miss, table["valid"][slot]))),
         }
         ns = rr_out.shape[0]
         return (tuple(jnp.reshape(rr_out[i], shape) for i in range(ns)),

@@ -457,3 +457,44 @@ reactions
     assert rxns[0].reversible and rxns[0].third_body
     assert dict(rxns[0].efficiencies) == {0: 2.5, 1: 1.0}
     assert not rxns[1].reversible and not rxns[1].third_body
+
+
+def test_device_isat_eviction_metric():
+    """DeviceISAT eviction diagnostics (r3 weak #5): a live-slot overwrite
+    (miss landing on a valid slot with a different key) counts as an
+    eviction; a table with comfortable capacity records none, a saturated
+    one records many (the capacity-too-small signal)."""
+    from qgdsolver_tpu.physics.chemistry import DeviceISAT
+
+    def compute(Y, rho, T, p, dt, miss=None):
+        return (jnp.zeros_like(T),), jnp.zeros_like(T)
+
+    class _Mix:
+        n_species = 1
+
+    n = 64
+    T = jnp.linspace(300.0, 3000.0, n)
+    p = jnp.full((n,), 1e5)
+    rho = jnp.ones((n,))
+    Y = (jnp.linspace(0.0, 1.0, n),)
+
+    # comfortable capacity: zero evictions across repeat lookups
+    tab = DeviceISAT(tol=1e-3, capacity=1 << 12)
+    table = tab.init(1)
+    for _ in range(2):
+        _, table = tab.rates_stateful(table, compute, _Mix, Y, rho, T, p,
+                                      1e-6)
+    # a couple of birthday-collision evictions are expected (~n^2/2cap)
+    assert DeviceISAT.counter(table, "evictions") <= 3
+    assert DeviceISAT.counter(table, "hits") >= n - 4  # 2nd pass ~all hits
+
+    # saturated: 64 distinct keys into 16 slots must overwrite live slots,
+    # and the repeat pass cannot be all hits
+    tab2 = DeviceISAT(tol=1e-3, capacity=16)
+    table2 = tab2.init(1)
+    _, table2 = tab2.rates_stateful(table2, compute, _Mix, Y, rho, T, p,
+                                    1e-6)
+    _, table2 = tab2.rates_stateful(table2, compute, _Mix, Y, rho, T, p,
+                                    1e-6)
+    assert DeviceISAT.counter(table2, "evictions") > 0
+    assert DeviceISAT.counter(table2, "hits") < n
