@@ -194,7 +194,11 @@ def build_case(case_dir: str):
     if getattr(mesh, "axisymmetric", False) and app not in (
             "QGDFoam", "rhoQGDFoam", "particlesQGDFoam", "particlesQHDFoam",
             "QHDFoam", "SRFQHDFoam", "mulesQHDFoam", "QHDDyMFoam",
-            "scalarTransportQHDFoam"):
+            "scalarTransportQHDFoam",
+            # r4: interQHDFoam carries the viscous hoop source and the
+            # interface curvature's hoop part comes through the r-weighted
+            # metrics (axisymmetric two-phase nozzles / liquid columns)
+            "interQHDFoam"):
         # only solvers carrying the radial hoop sources may run wedges —
         # anything else would silently generate spurious radial momentum
         # against the r-weighted face areas

@@ -147,13 +147,18 @@ def interface_properties(alpha1, bc_alpha, mesh: Mesh, sigma: float,
 
 def reconstruct(face_flux, mesh: Mesh):
     """fvc::reconstruct of a face-normal flux field (X & Sf) into a cell
-    vector: on a brick mesh comp a = (flux_lo + flux_hi)/(2*|S_a|)."""
+    vector: comp a = (flux_lo + flux_hi)/(area_lo + area_hi) — on constant
+    per-axis areas that is the brick formula (lo+hi)/(2|S_a|); on
+    r-weighted (axisymmetric) metrics the per-face areas differ."""
     nd = mesh.ndim
     comps = []
     for a, f in enumerate(face_flux):
         ax = f.ndim - nd + a
         n = f.shape[ax]
+        area = jnp.broadcast_to(mesh.face_area(a), f.shape[f.ndim - nd:])
         lo = jnp.take(f, jnp.arange(0, n - 1), axis=ax)
         hi = jnp.take(f, jnp.arange(1, n), axis=ax)
-        comps.append((lo + hi) / (2.0 * mesh.face_area(a)))
+        a_lo = jnp.take(area, jnp.arange(0, n - 1), axis=ax - (f.ndim - nd))
+        a_hi = jnp.take(area, jnp.arange(1, n), axis=ax - (f.ndim - nd))
+        comps.append((lo + hi) / (a_lo + a_hi))
     return jnp.stack(comps, axis=0)

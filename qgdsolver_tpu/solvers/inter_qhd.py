@@ -70,6 +70,12 @@ class InterQHDFoam:
     # ingestion sets it to the case's actual file so write->resume
     # roundtrips keep the right filename for non-water phase pairs
     alpha_field: str = "alpha.water"
+    # Axisymmetric (wedge) meshes are supported: the r-weighted metrics
+    # carry the interface curvature's hoop part and the UEqn adds the
+    # viscous hoop source.  KNOWN LIMITATION: interfaces crossing the
+    # near-axis cells are CSF-noisy (curvature noise amplified by the 1/r
+    # metrics — the well-documented interFoam wedge-axis spurious-current
+    # pathology); keep the interface off the first few axis cells.
     smooth_coeff: float = 0.5
 
     def _bcs(self):
@@ -178,8 +184,13 @@ class InterQHDFoam:
                 a1f[a] * Tau1 / rho1 + a2f[a] * Tau2 / rho2 for a in range(nd)
             )
             rhs_p = fvsc.div_flux(phiu, mesh) + fvsc.div_flux(phiwm, mesh)
+            # solve_helmholtz solves diag*x - lap(gamma, x) = rhs, so the
+            # reference equation lap(coeffp, p) == div(phiu) + div(phiwm)
+            # (interQHDFoam_8C:147-171) takes rhs = -rhs_p — the sign QHDFoam
+            # uses; with +rhs_p the correction DOUBLES the divergence
+            # (div(phi) = 2*rhs_p) instead of projecting it out
             res = linsolve.solve_helmholtz(
-                diag_coeff=0.0, gamma_faces=coeffp, rhs=rhs_p, x0=p,
+                diag_coeff=0.0, gamma_faces=coeffp, rhs=-rhs_p, x0=p,
                 bcs=bc_p, mesh=mesh, t=t, tol=self.cg_tol,
                 maxiter=self.cg_maxiter, singular=singular,
             )
@@ -248,15 +259,25 @@ class InterQHDFoam:
             alpha1_new = jnp.clip(alpha1_new, 0.0, 1.0)
             if self.smooth_alpha:
                 # smoothSolution.H: blend toward the area-weighted average of
-                # the face-interpolated field (fvc::average analogue)
-                wsum = sum(2.0 * mesh.face_area(a) for a in range(nd))
+                # the face-interpolated field (fvc::average analogue);
+                # per-face areas vary on r-weighted (axisymmetric) metrics
+                def _areas(a):
+                    ar = jnp.broadcast_to(mesh.face_area(a),
+                                          mesh.face_shape(a))
+                    lo = jnp.take(ar, jnp.arange(0, mesh.shape[a]), axis=a)
+                    hi = jnp.take(ar, jnp.arange(1, mesh.shape[a] + 1),
+                                  axis=a)
+                    return lo, hi
+
+                pair_areas = [_areas(a) for a in range(nd)]
+                wsum = sum(lo + hi for lo, hi in pair_areas)
                 for _ in range(self.n_smooth_iters):
                     af = fvsc.interpolate(alpha1_new, bc_a, mesh, t=t)
                     avg = sum(
                         (jnp.take(af[a], jnp.arange(0, mesh.shape[a]),
-                                  axis=a)
+                                  axis=a) * pair_areas[a][0]
                          + jnp.take(af[a], jnp.arange(1, mesh.shape[a] + 1),
-                                    axis=a)) * mesh.face_area(a)
+                                    axis=a) * pair_areas[a][1])
                         for a in range(nd)) / wsum
                     alpha1_new = ((1.0 - self.smooth_coeff) * alpha1_new
                                   + self.smooth_coeff * avg)
@@ -301,6 +322,14 @@ class InterQHDFoam:
                 + BdFrc
                 - press_frc
             )
+            if mesh.axisymmetric:
+                # wedge (x, r) cylindrical vector laplacian: the r-weighted
+                # face metrics supply (1/r)d(r d()/dr); the remaining hoop
+                # term of (lap U)_r is -mu u_r/r^2 (mirrors qhd.py; the
+                # interface curvature's hoop part comes free through the
+                # r-weighted div in interface_properties)
+                r_c = mesh.cell_coords(1)
+                rhs_U = rhs_U.at[1].add(-mu * U[1] / (r_c * r_c))
             if self.implicit_diffusion:
                 resU = linsolve.solve_helmholtz(
                     diag_coeff=rho_new / dt_new, gamma_faces=muf, rhs=rhs_U,

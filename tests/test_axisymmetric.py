@@ -171,3 +171,59 @@ def test_build_case_wedge_end_to_end():
     u = np.asarray(s.rhoU / s.rho[None])
     np.testing.assert_allclose(u[0], 100.0, rtol=1e-6)
     assert np.max(np.abs(u[1])) < 1e-6
+
+
+def test_inter_qhd_wedge_cylindrical_laplace_pressure():
+    """Axisymmetric two-phase (r4, r3 weak #6): a static liquid ANNULUS in
+    an (x, r) wedge has an interface that is STRAIGHT in-plane — the
+    entire curvature kappa = 1/R is the hoop term that the r-weighted
+    metrics supply through interface_properties' divergence.  The Laplace
+    jump dp = sigma/R must develop (a planar run of the same fields gives
+    dp ~ 0) and the equilibrium stays static to machine level.
+
+    The interface sits away from the axis: CSF curvature at near-axis
+    cells is noise-amplified by the 1/r metrics (the well-known interFoam
+    wedge-axis spurious-current pathology) — documented limitation."""
+    import jax
+
+    from qgdsolver_tpu.core import bc as bcm
+    from qgdsolver_tpu.core.mesh import AxisymmetricMesh
+    from qgdsolver_tpu.physics.twophase import TwoPhaseProperties
+    from qgdsolver_tpu.solvers import common
+    from qgdsolver_tpu.solvers.inter_qhd import InterQHDFoam
+
+    nx, nr = 8, 40
+    R0 = 0.6
+    sigma = 0.07
+    mesh = AxisymmetricMesh(x_faces=(np.linspace(0.0, 0.2, nx + 1),
+                                     np.linspace(0.2, 1.0, nr + 1)),
+                            dtype=np.float64)
+    props = TwoPhaseProperties(rho1=1000.0, rho2=1.0, nu1=1e-5, nu2=1e-5,
+                               tau1=1e-5, tau2=1e-5, sigma=sigma,
+                               c_alpha=0.0)
+    zg = bcm.ZeroGradient()
+    noslip = bcm.FixedValue(jnp.zeros(2))
+    solver = InterQHDFoam(
+        mesh=mesh, props=props, g=(0.0, 0.0),
+        bc_U=bcm.FieldBCs(((zg, zg), (noslip, noslip))),
+        bc_alpha=bcm.FieldBCs.uniform(zg, 2),
+        bc_p=bcm.FieldBCs(((zg, zg), (zg, bcm.FixedValue(0.0)))),
+        time=common.TimeControls(max_co=0.1, max_dt=2e-6, dt0=1e-6),
+        smooth_alpha=True, n_smooth_iters=2,
+    )
+    r = np.asarray(mesh.centers[1])
+    dr = 0.8 / nr
+    a0 = 0.5 * (1.0 - np.tanh((r[None, :] - R0) / (2.0 * dr)))
+    state = solver.init(U0=jnp.zeros((2,) + mesh.shape),
+                        alpha0=jnp.asarray(np.broadcast_to(a0, mesh.shape)))
+    import jax as _jax
+
+    step = _jax.jit(solver.make_step())
+    s = common.run_steps(step, state, 120)
+    p = np.asarray(s.p)
+    assert np.isfinite(p).all()
+    dp = p[:, r < 0.45].mean() - p[:, r > 0.8].mean()
+    np.testing.assert_allclose(dp, sigma / R0, rtol=0.05)
+    # static equilibrium: spurious currents at machine level (the
+    # projection actually projects — the r4 pEqn sign fix)
+    assert np.abs(np.asarray(s.U)).max() < 1e-9
