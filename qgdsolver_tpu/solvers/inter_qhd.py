@@ -237,7 +237,15 @@ class InterQHDFoam:
             ]
             if pr.c_alpha > 1e-30:
                 for a in range(nd):
-                    phic = pr.c_alpha * jnp.abs(phi[a]) / area[a]
+                    # |phi|/|Sf| is the face speed; r-weighted metrics have
+                    # ZERO-area faces on the wedge axis (phi is 0 there
+                    # too) — guard the 0/0
+                    ar = jnp.broadcast_to(
+                        jnp.asarray(area[a]),
+                        phi[a].shape[phi[a].ndim - nd:])
+                    phic = pr.c_alpha * jnp.where(
+                        ar > 0.0, jnp.abs(phi[a]) / jnp.where(ar > 0.0, ar,
+                                                              1.0), 0.0)
                     # zero compression at uncoupled boundary faces (:219-234)
                     if not isinstance(bc_a[a, 0], bcm.Periodic):
                         ax = phic.ndim - nd + a

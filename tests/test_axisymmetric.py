@@ -227,3 +227,73 @@ def test_inter_qhd_wedge_cylindrical_laplace_pressure():
     # static equilibrium: spurious currents at machine level (the
     # projection actually projects — the r4 pEqn sign fix)
     assert np.abs(np.asarray(s.U)).max() < 1e-9
+
+
+def test_wedge_inter_qhd_case_ingests_and_runs(tmp_path):
+    """The r3 wedge x interQHDFoam exclusion is lifted (r4): a wedge
+    two-phase case builds through ingestion and runs stable steps (the
+    axisymmetric nozzle/film class of the reference's papers table)."""
+    import os
+    import shutil
+
+    import jax
+
+    from qgdsolver_tpu.io import foam_case
+    from qgdsolver_tpu.solvers import common
+    from qgdsolver_tpu.solvers.inter_qhd import InterQHDFoam
+
+    src = os.path.join(os.path.dirname(__file__), "fixtures", "wedge_case")
+    case = tmp_path / "wedge2p"
+    shutil.copytree(src, case)
+    (case / "system" / "controlDict").write_text(
+        (case / "system" / "controlDict").read_text().replace(
+            "application     QGDFoam;", "application     interQHDFoam;"))
+    (case / "constant" / "transportProperties").write_text(
+        "FoamFile { version 2.0; format ascii; class dictionary; "
+        "object transportProperties; }\n"
+        "phases (water air);\n"
+        "water { nu 1e-06; rho 1000; }\n"
+        "air   { nu 1.48e-05; rho 1; }\n"
+        "tauwater 1e-5;\ntauair 1e-5;\nsigma 0.07;\n")
+    for old in ("T",):
+        (case / "0" / old).unlink()
+    (case / "0" / "p").write_text(
+        (case / "0" / "p").read_text().replace("uniform 101325",
+                                               "uniform 0"))
+    (case / "0" / "alpha.water").write_text(
+        "FoamFile { version 2.0; format ascii; class volScalarField; "
+        "object alpha.water; }\n"
+        "internalField uniform 0;\n"
+        "boundaryField { inlet { type zeroGradient; } "
+        "outlet { type zeroGradient; } axis { type empty; } "
+        "outer { type zeroGradient; } front { type wedge; } "
+        "back { type wedge; } }\n")
+    (case / "0" / "U").write_text(
+        "FoamFile { version 2.0; format ascii; class volVectorField; "
+        "object U; }\n"
+        "internalField uniform (0 0 0);\n"
+        "boundaryField { inlet { type fixedValue; "
+        "value uniform (0.05 0 0); } outlet { type zeroGradient; } "
+        "axis { type empty; } outer { type noSlip; } "
+        "front { type wedge; } back { type wedge; } }\n")
+
+    solver, state = foam_case.build_case(str(case))
+    assert isinstance(solver, InterQHDFoam)
+    assert solver.mesh.axisymmetric
+    # an annular water film along the outer wall (off the axis); the
+    # interface is tanh-smoothed over ~2 cells (a one-cell step seeds a
+    # stiff per-phase-gamma pressure transient, as it would in interFoam)
+    r = np.asarray(solver.mesh.centers[1])
+    dr = float(solver.mesh.dx[1][0])
+    a0 = np.broadcast_to(
+        0.5 * (1.0 + np.tanh((r[None, :] - 0.35) / (2.0 * dr))),
+        solver.mesh.shape)
+    state = state._replace(alpha1=jnp.asarray(a0))
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, state, 10)
+    a = np.asarray(s.alpha1)
+    assert np.isfinite(np.asarray(s.p)).all()
+    assert a.min() >= -1e-8 and a.max() <= 1.0 + 1e-8
+    # r-weighted mass conservation (cylindrical volume integral)
+    V = np.asarray(solver.mesh.cell_volume)
+    np.testing.assert_allclose((a * V).sum(), (a0 * V).sum(), rtol=2e-3)
