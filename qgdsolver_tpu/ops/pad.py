@@ -87,10 +87,31 @@ def _ghost_layers(bc_lo, bc_hi, arr, mesh, a, t, vector):
     cmesh = ctx.global_mesh if (ctx is not None
                                 and ctx.global_mesh is not None) else mesh
 
+    def extend_prior(v):
+        """Extend a BC layer array along the already-padded axes b < a to
+        the interior layer's ghosted extent: neighbour values across
+        sharded partition edges, edge replication at physical boundaries
+        (the same construction the interior ghosts got)."""
+        if not hasattr(v, "ndim") or v.ndim < nd:
+            return v
+        for b in range(a):
+            axb = _spatial_axis(v.ndim, nd, b)
+            if v.shape[axb] != mesh.shape[b] or mesh.shape[b] == 1:
+                continue
+            first = jnp.take(v, jnp.asarray([0]), axis=axb)
+            last = jnp.take(v, jnp.asarray([-1]), axis=axb)
+            if ctx is not None and ctx.sharded(b):
+                prev_m, next_m, b_lo, b_hi = spmd.halo_layers(
+                    v, axb, b, periodic=False)
+                first = jnp.where(b_lo, first, prev_m)
+                last = jnp.where(b_hi, last, next_m)
+            v = jnp.concatenate([first, v, last], axis=axb)
+        return v
+
     def ev(raw, side, interior):
         coords = _layer_coords(cmesh, a, side)
         v = _eval_bc_value(raw, t, coords, vector, ncomp, interior.ndim)
-        return spmd.localize_layer(v, a, nd)
+        return extend_prior(spmd.localize_layer(v, a, nd))
 
     def one(bc, side, interior, other_interior, dx, near2):
         if isinstance(bc, bcm.FixedValue):
@@ -114,19 +135,8 @@ def _ghost_layers(bc_lo, bc_hi, arr, mesh, a, t, vector):
             # carry ghosts here, so extend the mask to match: neighbour
             # values across sharded partition edges, edge-replication at
             # physical boundaries (serial parity in the corner ghosts)
-            mask = spmd.localize_layer(jnp.asarray(bc.outflow), a, nd)
-            for b in range(a):
-                axb = _spatial_axis(mask.ndim, mesh.ndim, b)
-                if mask.shape[axb] == 1:
-                    continue
-                first = jnp.take(mask, jnp.asarray([0]), axis=axb)
-                last = jnp.take(mask, jnp.asarray([-1]), axis=axb)
-                if ctx is not None and ctx.sharded(b):
-                    prev_m, next_m, b_lo, b_hi = spmd.halo_layers(
-                        mask, axb, b, periodic=False)
-                    first = jnp.where(b_lo, first, prev_m)
-                    last = jnp.where(b_hi, last, next_m)
-                mask = jnp.concatenate([first, mask, last], axis=axb)
+            mask = extend_prior(
+                spmd.localize_layer(jnp.asarray(bc.outflow), a, nd))
             return jnp.where(mask, interior, 2.0 * v - interior)
         if isinstance(bc, bcm.Segmented):
             # split-side patches: each segment's ghost layer applies on its

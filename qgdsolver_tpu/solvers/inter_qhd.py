@@ -96,7 +96,7 @@ class InterQHDFoam:
         mesh = self.mesh
         nd = mesh.ndim
         pr = self.props
-        bc_U, bc_a, bc_p = self._bcs()
+        bc_U, bc_a, bc_p0 = self._bcs()
         tc = self.time
         scheme = self.fvsc_scheme
         sch_U = fvsc.scheme_for(scheme, "grad(U)")
@@ -108,7 +108,7 @@ class InterQHDFoam:
         area = tuple(mesh.face_area(a) for a in range(nd))
         rho1, rho2, Tau1, Tau2 = pr.rho1, pr.rho2, pr.tau1, pr.tau2
         singular = all(
-            not isinstance(bc_p[a, s], bcm.FixedValue)
+            not isinstance(bc_p0[a, s], bcm.FixedValue)
             for a in range(nd) for s in (0, 1)
         )
 
@@ -183,6 +183,38 @@ class InterQHDFoam:
             coeffp = tuple(
                 a1f[a] * Tau1 / rho1 + a2f[a] * Tau2 / rho2 for a in range(nd)
             )
+            # mQhdFlux p BC (mixture qhdFlux): the reference sets the
+            # outward gradient to phiwm/coeffp/|Sf| at the patch
+            # (mQhdFluxFvPatchScalarField_8C_source.html:185-193), so the
+            # pEqn laplacian boundary flux cancels phiwm and phi reduces to
+            # the velocity-BC flux phiu there.  Substituted per step like
+            # solvers/qhd.py:317-328.
+            flux_grads = {}
+            for a in range(nd):
+                for side in (0, 1):
+                    if isinstance(bc_p0[a, side], bcm.QHDFluxP):
+                        idx = jnp.asarray([0 if side == 0 else -1])
+                        # face arrays may carry leading singleton dims
+                        # (stf does): index the trailing spatial axes
+                        wm = jnp.take(phiwm[a], idx,
+                                      axis=phiwm[a].ndim - nd + a)
+                        cp = jnp.take(coeffp[a], idx,
+                                      axis=coeffp[a].ndim - nd + a)
+                        ar = jnp.take(
+                            jnp.broadcast_to(jnp.asarray(area[a]),
+                                             mesh.face_shape(a)),
+                            idx, axis=a)
+                        sign = -1.0 if side == 0 else 1.0
+                        # phiwm is +axis oriented; outward flux at the low
+                        # side is -phiwm.  Zero-area (wedge-axis) faces
+                        # carry zero flux: guard the 0/0.
+                        g = jnp.where(ar > 0.0,
+                                      sign * wm / (cp * jnp.where(
+                                          ar > 0.0, ar, 1.0)), 0.0)
+                        flux_grads[(a, side)] = g
+            bc_p = bc_p0
+            for (a, side), g in flux_grads.items():
+                bc_p = bc_p.replace(a, side, bcm.FixedGradient(g))
             rhs_p = fvsc.div_flux(phiu, mesh) + fvsc.div_flux(phiwm, mesh)
             # solve_helmholtz solves diag*x - lap(gamma, x) = rhs, so the
             # reference equation lap(coeffp, p) == div(phiu) + div(phiwm)

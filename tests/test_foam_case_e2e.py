@@ -729,3 +729,45 @@ def test_inter_qhd_nonwater_alpha_write_resume(tmp_path):
     solver2, state2 = foam_case.build_case(str(case))
     np.testing.assert_allclose(np.asarray(state2.alpha1),
                                np.asarray(s.alpha1), rtol=1e-5, atol=1e-7)
+
+
+def test_build_case_inter_mqhdflux(tmp_path):
+    """mQhdFlux pressure patches on an ingested interQHDFoam case (VERDICT
+    r4 missing #1): the word maps to the QHDFluxP marker and the solver
+    substitutes the per-step mixture FixedGradient
+    (mQhdFluxFvPatchScalarField_8C_source.html:185-193), so a dam-break
+    style case with mixture-flux p walls runs bounded."""
+    import shutil
+
+    case = tmp_path / "inter_mqhd"
+    shutil.copytree(os.path.join(FIX, "inter_case"), case)
+    (case / "0" / "p").write_text(
+        "FoamFile { version 2.0; format ascii; class volScalarField;"
+        " object p; }\n"
+        "dimensions [1 -1 -2 0 0 0 0];\n"
+        "internalField uniform 0;\n"
+        "boundaryField\n{\n"
+        "    left   { type mQhdFlux; value uniform 0; }\n"
+        "    right  { type mQhdFlux; value uniform 0; }\n"
+        "    bottom { type mQhdFlux; value uniform 0; }\n"
+        "    top    { type fixedValue; value uniform 0; }\n"
+        "    frontAndBack { type empty; }\n}\n")
+    solver, state = foam_case.build_case(str(case))
+    assert isinstance(solver.bc_p[0, 0], bcm.QHDFluxP)
+    assert isinstance(solver.bc_p[1, 0], bcm.QHDFluxP)
+    # dam-break column against the left wall
+    x = np.asarray(solver.mesh.cell_coords(0)) * np.ones(solver.mesh.shape)
+    yy = np.asarray(solver.mesh.cell_coords(1)) * np.ones(solver.mesh.shape)
+    a0 = jnp.asarray(((x < 0.3) & (yy < 0.6)).astype(x.dtype))
+    state = state._replace(alpha1=a0)
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, state, 8)
+    a = np.asarray(s.alpha1)
+    assert np.all(np.isfinite(np.asarray(s.U)))
+    assert np.all(np.isfinite(np.asarray(s.p)))
+    assert a.min() >= -1e-8 and a.max() <= 1.0 + 1e-8
+    np.testing.assert_allclose(a.sum(), np.asarray(a0).sum(), rtol=5e-3)
+    # the column collapses: liquid spreads rightward along the floor
+    xcom0 = float((np.asarray(a0) * x).sum() / np.asarray(a0).sum())
+    xcom = float((a * x).sum() / a.sum())
+    assert xcom > xcom0
