@@ -175,6 +175,9 @@ def supported(solver, sharded: bool = False) -> bool:
         return False
     if solver.implicit_diffusion:
         return False
+    if (getattr(solver, "qgdflux_limit", None) is not None
+            or getattr(solver, "qgdflux_relax", 1.0) != 1.0):
+        return False  # qgdFlux limiter/relaxation: composable only
     for term in ("grad(U)", "grad(e)", "grad(rho)", "grad(p)"):
         if fvsc.scheme_for(solver.fvsc_scheme, term) != "full":
             return False

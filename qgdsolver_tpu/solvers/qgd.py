@@ -72,6 +72,17 @@ class QGDFoam:
     cg_tol: float = 1e-8
     cg_maxiter: int = 500
     fvsc_scheme: tp.Any = "full"  # word or {term: word} dict
+    # qgdFlux robustness for shocks sitting ON the patch (VERDICT r4 weak
+    # #4): the reference BC's lagged dp/dn = -phiwStar/(tau_f|Sf|)
+    # (qgdFluxFvPatchScalarField_8C updateCoeffs) feeds its own w_star
+    # back through the ghost pressure when a steady shock stands on the
+    # patch; OpenFOAM's implicit p-solves damp the loop, the explicit
+    # path needs a face-local limiter.  qgdflux_limit clamps |dp/dn| to
+    # limit x the interior |snGrad p| at the patch-adjacent faces;
+    # qgdflux_relax under-relaxes the carried gradient.  Defaults (None,
+    # 1.0) reproduce the reference BC verbatim.
+    qgdflux_limit: tp.Optional[float] = None
+    qgdflux_relax: float = 1.0
 
     def _bcs(self):
         nd = self.mesh.ndim
@@ -145,13 +156,18 @@ class QGDFoam:
         # multi-block meshes): mirror-ghost fill before the step + solid
         # clamp after — see core.solid.StairstepSolid
         wall = None
+        fluid_mask = None
         if getattr(mesh, "solid", None) is not None:
+            import numpy as _np
+
             from ..core.solid import StairstepSolid
 
-            assert not self.implicit_diffusion, \
-                "solid masks require explicit diffusion (the implicit " \
-                "Helmholtz operator is not masked)"
             wall = StairstepSolid(mesh.solid)
+            # implicit diffusion on masked meshes: the same masked Helmholtz
+            # the QHD family uses (linsolve fluid_mask; no-slip immersed
+            # Dirichlet for U, zero-flux for e) — reference parity:
+            # QGDUEqn_8H_source.html:54-75 works on any mesh
+            fluid_mask = ~_np.asarray(mesh.solid, dtype=bool)
 
         # e-BCs derived from T-BCs: e_wall = e(T_wall) (sensibleInternalEnergy)
         bc_e = common.e_bcs_from_T(bc_T, th.e_from_T, getattr(th, "Cv", None))
@@ -365,6 +381,13 @@ class QGDFoam:
             if self.implicit_diffusion:
                 # tauMC = muEff*dev2(grad(U)^T); phiTauMC = Sf & interp(tauMC)
                 gradU_cell = fvsc.grad_cell_vector(U, bc_Ur, mesh, t=t)
+                if wall is not None:
+                    # zg-parity at immersed faces (solid cells take the
+                    # adjacent fluid cell's gradient — mirrors qhd.py)
+                    gradU_cell = jnp.stack([
+                        jnp.stack([wall.mirror(gradU_cell[i, j])
+                                   for j in range(nd)])
+                        for i in range(nd)])
                 tauMC = mu_eff * dev2T(gradU_cell, nd)
                 tauMC_f = fvsc.interpolate(
                     tauMC.reshape((nd * nd,) + mesh.shape), bc_zg, mesh
@@ -381,8 +404,13 @@ class QGDFoam:
                     diag_coeff=rho_new / dt_new, gamma_faces=muf, rhs=rhs_U,
                     x0=U_new, bcs=bc_Ur, mesh=mesh, t=t, vector=True,
                     tol=self.cg_tol, maxiter=self.cg_maxiter,
+                    fluid_mask=fluid_mask, solid_wall_dirichlet=True,
                 )
                 U_new = resU.x
+                if wall is not None:
+                    # solid cells are not prognostic: restore the
+                    # mirror-filled carry (the solve left them at 0)
+                    U_new = jnp.where(wall.solid[None], U, U_new)
                 rhoU_new = rho_new[None] * U_new
                 # sigmaDotU = (muf*interp(grad U) + tauMC_f) & Uf
                 gradU_lin_f = fvsc.interpolate(
@@ -415,13 +443,16 @@ class QGDFoam:
                     diag_coeff=rho_new / dt_new, gamma_faces=alphauf, rhs=rhs_e,
                     x0=e_new, bcs=bc_er, mesh=mesh, t=t,
                     tol=self.cg_tol, maxiter=self.cg_maxiter,
+                    fluid_mask=fluid_mask,
                 )
                 e_new = resE.x
+                if wall is not None:
+                    e_new = jnp.where(wall.solid, e, e_new)
                 rhoE_new = rho_new * (e_new + 0.5 * jnp.sum(U_new * U_new, axis=0))
 
             # update the lagged qgdFlux gradients from this step's phiwStar
             pbc_new = []
-            for a, side in flux_sides:
+            for i, (a, side) in enumerate(flux_sides):
                 idx = 0 if side == 0 else -1
                 ax = phiwStar[a].ndim - nd + a
                 ws = jnp.take(phiwStar[a], jnp.asarray([idx]), axis=ax)
@@ -431,10 +462,23 @@ class QGDFoam:
                 ar = jnp.broadcast_to(area[a] * jnp.ones_like(tau_f[a]),
                                       tau_f[a].shape)
                 arb = jnp.take(ar, jnp.asarray([idx]), axis=ax)
+                g = -sign * ws / (tf * arb)
+                if self.qgdflux_limit is not None:
+                    # face-local clamp: |dp/dn| <= limit * interior |snGrad|
+                    axp = p.ndim - nd + a
+                    pm1 = jnp.take(p, jnp.asarray([idx]), axis=axp)
+                    pm2 = jnp.take(p, jnp.asarray([-2 if side else 1]),
+                                   axis=axp)
+                    dxe = jnp.asarray(mesh.dx[a][-1 if side else 0],
+                                      dtype=p.dtype)
+                    cap = self.qgdflux_limit * jnp.abs(pm1 - pm2) / dxe
+                    g = jnp.clip(g, -cap, cap)
+                if self.qgdflux_relax != 1.0:
+                    g = ((1.0 - self.qgdflux_relax) * s.pbc[i]
+                         + self.qgdflux_relax * g)
                 # under spmd decomposition only the global-edge shard's row
                 # is physical; broadcast it into the replicated carry
-                pbc_new.append(common.spmd.edge_shard_value(
-                    -sign * ws / (tf * arb), a, side))
+                pbc_new.append(common.spmd.edge_shard_value(g, a, side))
 
             return State(rho=rho_new, rhoU=rhoU_new, rhoE=rhoE_new,
                          sc=coeffs.sc, t=t + dt_new, dt=dt_new,

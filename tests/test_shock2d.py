@@ -171,3 +171,103 @@ def test_regular_reflection_flagship():
     thresh2 = p1 * pr1 * (1.0 + 0.5 * (pr2 - 1.0))
     x_ref = _jump_x(p_after, x, thresh2)
     assert abs(x_ref - x_ref_exact) < 6.0 * Lx / nx, (x_ref, x_ref_exact)
+
+
+def _reflection_solver(bc_p_outlet, **solver_kw):
+    """The regular-reflection config with a configurable outlet p BC."""
+    M1, theta = 2.0, math.radians(10.0)
+    b1, pr1, rr1, tr1, M2 = oblique_shock(M1, theta)
+    b2, pr2, _, _, _ = oblique_shock(M2, theta)
+    p1, T1 = 1.0e5, 300.0
+    th = PerfectGasThermo(R=287.0, Cp=1004.5)
+    c1 = float(th.c(jnp.asarray(T1)))
+    u1 = M1 * c1
+    p2, T2 = p1 * pr1, T1 * tr1
+    u2 = M2 * float(th.c(jnp.asarray(T2)))
+    nx, ny = 192, 72
+    Lx, Ly = 2.0, 0.75
+    mesh = Mesh.uniform((nx, ny), lengths=(Lx, Ly), dtype=np.float64)
+    bc_U = bcm.FieldBCs((
+        (bcm.FixedValue(jnp.asarray([u1, 0.0])), bcm.ZeroGradient()),
+        (bcm.Symmetry(),
+         bcm.FixedValue(jnp.asarray([u2 * math.cos(theta),
+                                     -u2 * math.sin(theta)]))),
+    ))
+    bc_p = bcm.FieldBCs((
+        (bcm.FixedValue(p1), bc_p_outlet),
+        (bcm.ZeroGradient(), bcm.FixedValue(p2)),
+    ))
+    bc_T = bcm.FieldBCs((
+        (bcm.FixedValue(T1), bcm.ZeroGradient()),
+        (bcm.ZeroGradient(), bcm.FixedValue(T2)),
+    ))
+    solver = QGDFoam(
+        mesh=mesh, thermo=th,
+        tau_model=VarScModel5(alpha=0.5, Pr=1.0, rC=0.5, minSc=0.05,
+                              maxSc=1.0, smoothCoeff=0.1),
+        bc_U=bc_U, bc_p=bc_p, bc_T=bc_T,
+        time=common.TimeControls(max_co=0.2, max_dt=1e-3, dt0=1e-7),
+        **solver_kw,
+    )
+    shp = mesh.shape
+    _, _, _, tr2, M3 = oblique_shock(M2, theta)
+    p3, T3 = p2 * pr2, T2 * tr2
+    u3 = M3 * float(th.c(jnp.asarray(T3)))
+    x_imp0 = Ly / math.tan(b1)
+    X = np.asarray(mesh.centers[0])[:, None] * np.ones(shp)
+    Y = np.asarray(mesh.centers[1])[None, :] * np.ones(shp)
+    in2 = Y > Ly - X * math.tan(b1)
+    in3 = Y < (X - x_imp0) * math.tan(b2 - theta)
+    p0 = np.where(in3, p3, np.where(in2, p2, p1))
+    T0 = np.where(in3, T3, np.where(in2, T2, T1))
+    ux0 = np.where(in3, u3, np.where(in2, u2 * math.cos(theta), u1))
+    uy0 = np.where(in3, 0.0, np.where(in2, -u2 * math.sin(theta), 0.0))
+    state = solver.init(
+        p0=jnp.asarray(p0), T0=jnp.asarray(T0),
+        U0=jnp.stack([jnp.asarray(ux0), jnp.asarray(uy0)]),
+        sc0=jnp.full(shp, 0.05))
+    return solver, state, (u1, p1, pr1, pr2, b1, Lx, Ly)
+
+
+def test_qgdflux_shock_on_patch_diverges_unlimited():
+    """Document the failure mode the limiter exists for (VERDICT r4 weak
+    #4): the raw lagged qgdFlux dp/dn on an outlet with the reflected
+    shock standing on it blows up within a few hundred steps."""
+    solver, state, _ = _reflection_solver(bcm.QGDFluxP())
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, state, 300)
+    bad = (not np.isfinite(np.asarray(s.rho)).all()
+           or not np.isfinite(np.asarray(s.pbc[0])).all()
+           or float(jnp.max(jnp.abs(s.pbc[0]))) > 1e8)
+    assert bad, "expected the unlimited lagged gradient to run away"
+
+
+def test_qgdflux_shock_on_patch_limited_converges():
+    """With the face-local limiter (|dp/dn| clamped to 4x the interior
+    |snGrad p|) + mild under-relaxation, the same config runs to a steady
+    regular reflection: finite fields, bounded BC gradient, and the
+    two-shock wall pressure ratio."""
+    solver, state, (u1, p1, pr1, pr2, b1, Lx, Ly) = _reflection_solver(
+        bcm.QGDFluxP(), qgdflux_limit=4.0, qgdflux_relax=0.5)
+    step = solver.make_step()
+    t_end = 1.5 * Lx / u1
+    run = jax.jit(lambda s: common.run_steps(step, s, 500))
+    for _ in range(30):
+        state = run(state)
+        if float(state.t) > t_end:
+            break
+    assert float(state.t) > t_end, "did not reach steady state"
+    assert np.isfinite(np.asarray(state.rho)).all()
+    assert np.isfinite(np.asarray(state.pbc[0])).all()
+    # the BC gradient stays on the physical scale (interior snGrad-bound)
+    nx = solver.mesh.shape[0]
+    dx = Lx / nx
+    p = np.asarray(solver.primitives(state)[3])
+    max_int = np.abs(np.diff(p, axis=0)).max() / dx
+    assert float(jnp.max(jnp.abs(state.pbc[0]))) <= 4.0 * max_int * 1.01
+    # two-shock pressure ratio on the wall row behind the reflection
+    x = np.asarray(solver.mesh.centers[0])
+    x_imp = (Ly - 0.5 * Ly / solver.mesh.shape[1]) / math.tan(b1)
+    probe = (x > x_imp + 0.45) & (x < Lx - 0.25)
+    p3_num = p[probe, 1].mean()
+    np.testing.assert_allclose(p3_num, p1 * pr1 * pr2, rtol=0.05)
