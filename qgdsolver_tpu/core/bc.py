@@ -74,6 +74,18 @@ class Extrapolated(BC):
 
 
 @dataclasses.dataclass(frozen=True)
+class Mixed(BC):
+    """OpenFOAM mixed BC with zero refGrad: face value =
+    fraction*value + (1 - fraction)*interior-cell value, so the ghost is
+    G = 2*(f*v + (1-f)*I) - I.  fraction=1 -> FixedValue, fraction=0 ->
+    ZeroGradient.  Used by the waveTransmissive substitution (the
+    advective-BC valueFraction)."""
+
+    value: tp.Any
+    fraction: tp.Any
+
+
+@dataclasses.dataclass(frozen=True)
 class InletOutlet(BC):
     """OpenFOAM inletOutlet: per-face switch on the flux direction —
     zeroGradient where flow leaves the domain, fixedValue `inlet_value`
@@ -160,6 +172,28 @@ class QGDFluxP(BC):
 
 
 @dataclasses.dataclass(frozen=True)
+class WaveTransmissive(BC):
+    """OpenFOAM waveTransmissive outflow marker (the characteristics-based
+    advective/non-reflecting condition the reference jet tutorials select
+    for p).  The solver carries the patch face value in its State and
+    advances it each step with the implicit-upwind advective update at the
+    outgoing wave speed w = max(Un, 0) + c:
+
+        v^{n+1} = (v^n + alpha*phi_cell + k*field_inf) / (1 + alpha + k),
+        alpha = w dt / delta,  k = w dt / l_inf  (0 when l_inf == 0),
+
+    delta the cell-center-to-face distance — OpenFOAM
+    advectiveFvPatchField::updateCoeffs with the Euler ddt scheme, with
+    waveTransmissive's advectionSpeed() = phi/(rho|Sf|) + sqrt(gamma p/rho).
+    l_inf > 0 relaxes the face value toward the far-field `field_inf` on
+    the length scale l_inf.  During the step the BC acts as
+    FixedValue(v^n) (the same lagged-carry pattern as QGDFluxP)."""
+
+    field_inf: float = 0.0
+    l_inf: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
 class QHDFluxP(BC):
     """qhdFlux pressure BC marker: dp/dn = -phiwStar*rho_f/(tau_f*|Sf|)
     (reference qhdFluxFvPatchScalarField_8C_source.html:193-203).  Also used
@@ -195,6 +229,8 @@ def homogeneous(bc: BC) -> BC:
         return FixedValue(0.0)
     if isinstance(bc, FixedGradient):
         return FixedGradient(0.0)
+    if isinstance(bc, Mixed):
+        return Mixed(0.0, bc.fraction)
     if isinstance(bc, FluxSwitched):
         return FluxSwitched(0.0, bc.outflow)
     if isinstance(bc, InletOutlet):

@@ -39,6 +39,9 @@ register("bc", "inletOutlet")(
 register("bc", "extrapolated")(lambda **_: bcm.Extrapolated())
 register("bc", "noSlip")(lambda ndim=3, **_: bcm.noslip(ndim))
 register("bc", "qgdFlux")(lambda **_: bcm.QGDFluxP())
+register("bc", "waveTransmissive")(
+    lambda fieldInf=0.0, lInf=0.0, **_: bcm.WaveTransmissive(
+        field_inf=float(fieldInf), l_inf=float(lInf)))
 register("bc", "qhdFlux")(lambda **_: bcm.QHDFluxP())
 register("bc", "mQhdFlux")(lambda **_: bcm.QHDFluxP())
 register("bc", "cosVelocity")(

@@ -409,14 +409,14 @@ def _bc_from_entry(entry: dict, ndim: int, kept_axes, vector: bool) -> bcm.BC:
         kw["inletValue"] = _uniform_value(entry["inletValue"], kept_axes, vector)
     if "gradient" in entry:
         kw["gradient"] = _uniform_value(entry["gradient"], kept_axes, vector)
-    for extra in ("amplitude", "omega0", "phi0", "height"):
+    for extra in ("amplitude", "omega0", "phi0", "height", "fieldInf",
+                  "lInf"):
         if extra in entry:
             kw[extra] = float(entry[extra])
     word_map = {
         "empty": "zeroGradient",
         "calculated": "zeroGradient",
         "symmetryPlane": "symmetry",
-        "waveTransmissive": "extrapolated",
         # contact-angle alpha BCs: the FIELD behaves as zeroGradient; the
         # angle itself is extracted by foam_case._read_contact_angles and
         # applied through qInterfaceProperties' correction

@@ -125,6 +125,10 @@ def _ghost_layers(bc_lo, bc_hi, arr, mesh, a, t, vector):
             return interior
         if isinstance(bc, bcm.FixedGradient):
             return interior + ev(bc.grad, side, interior) * dx
+        if isinstance(bc, bcm.Mixed):
+            v = ev(bc.value, side, interior)
+            f = ev(bc.fraction, side, interior)
+            return 2.0 * (f * v + (1.0 - f) * interior) - interior
         if isinstance(bc, bcm.Periodic):
             return other_interior
         if isinstance(bc, bcm.Extrapolated):

@@ -56,6 +56,11 @@ def e_bcs_from_T(bc_T: "bcm.FieldBCs", e_of_T, Cv=None) -> "bcm.FieldBCs":
             if not callable(b.grad):
                 return bcm.FixedGradient(Cv * jnp.asarray(b.grad))
             return bcm.FixedGradient(lambda t_, c_: Cv * b.grad(t_, c_))
+        if isinstance(b, bcm.Mixed):
+            if not callable(b.value):
+                return bcm.Mixed(e_of_T(jnp.asarray(b.value)), b.fraction)
+            return bcm.Mixed(lambda t_, c_: e_of_T(b.value(t_, c_)),
+                             b.fraction)
         return b
 
     return bc_T.map(t2e)

@@ -57,6 +57,10 @@ class State(tp.NamedTuple):
     # like the reference's updateCoeffs lookup of the registered phiwStar
     # (qgdFluxFvPatchScalarField_8C updateCoeffs, gradient at :192)
     pbc: tp.Tuple[jax.Array, ...] = ()
+    # waveTransmissive carried patch face values, one per marker-tagged
+    # (field, axis, side) — advanced each step by the implicit-upwind
+    # advective update at speed max(Un,0)+c (core/bc.py WaveTransmissive)
+    wt: tp.Tuple[jax.Array, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,6 +113,31 @@ class QGDFoam:
             out.append(jnp.zeros(tuple(shape), dtype=dtype))
         return tuple(out)
 
+    def _wt_sides(self):
+        """(field, axis, side, bc) tuples carrying waveTransmissive markers
+        across the p/T/U boundary sets."""
+        bu, bp, bt = self._bcs()
+        out = []
+        for key, bcs in (("p", bp), ("T", bt), ("U", bu)):
+            for a in range(self.mesh.ndim):
+                for side in (0, 1):
+                    b = bcs[a, side]
+                    if isinstance(b, bcm.WaveTransmissive):
+                        out.append((key, a, side, b))
+        return tuple(out)
+
+    def _wt_init(self, p0, T0, U0):
+        """Initial carried face values: the patch-adjacent cell layer."""
+        fields = {"p": p0, "T": T0, "U": U0}
+        nd = self.mesh.ndim
+        out = []
+        for key, a, side, _ in self._wt_sides():
+            f = fields[key]
+            idx = 0 if side == 0 else -1
+            out.append(jnp.take(f, jnp.asarray([idx]),
+                                axis=f.ndim - nd + a))
+        return tuple(out)
+
     def init(self, p0, T0, U0, t0=0.0, sc0=None) -> State:
         th = self.thermo
         p0, T0, U0 = jnp.asarray(p0), jnp.asarray(T0), jnp.asarray(U0)
@@ -120,7 +149,8 @@ class QGDFoam:
         dt = jnp.asarray(self.time.dt0, dtype=rho.dtype)
         return State(rho=rho, rhoU=rhoU, rhoE=rhoE, sc=sc,
                      t=jnp.asarray(t0, dtype=rho.dtype), dt=dt,
-                     pbc=self._pbc_zeros(rho.dtype))
+                     pbc=self._pbc_zeros(rho.dtype),
+                     wt=self._wt_init(p0, T0, U0))
 
     # -- primitive reconstruction ------------------------------------------
     def primitives(self, s: State):
@@ -169,8 +199,12 @@ class QGDFoam:
             # QGDUEqn_8H_source.html:54-75 works on any mesh
             fluid_mask = ~_np.asarray(mesh.solid, dtype=bool)
 
+        # waveTransmissive sides (carried face values, substituted per step)
+        wt_sides = self._wt_sides()
+        wt_has_T = any(k == "T" for k, _, _, _ in wt_sides)
         # e-BCs derived from T-BCs: e_wall = e(T_wall) (sensibleInternalEnergy)
-        bc_e = common.e_bcs_from_T(bc_T, th.e_from_T, getattr(th, "Cv", None))
+        bc_e = (None if wt_has_T else
+                common.e_bcs_from_T(bc_T, th.e_from_T, getattr(th, "Cv", None)))
         # trace-time constant gamma for calorically perfect gases; None for
         # variable-cp thermos (JANAF), whose gamma field is interpolated to
         # faces per step like the reference's updateFields gamma interp
@@ -197,11 +231,50 @@ class QGDFoam:
                 rhoE = jnp.where(wall.boundary,
                                  rho * e + 0.5 * rho * jnp.sum(U * U, 0),
                                  rhoE)
+            # waveTransmissive: OpenFOAM advectiveFvPatchField::updateCoeffs
+            # (Euler ddt) from the current fields and the carried old face
+            # value — the BC acts as the mixed condition
+            #   face = frac*ref + (1-frac)*cell,
+            #   ref = (v_old + k*field_inf)/(1+k),
+            #   frac = (1+k)/(1+alpha+k),  alpha = w dt/delta,  k = w dt/lInf
+            # at the outgoing wave speed w = max(Un,0)+c (waveTransmissive
+            # advectionSpeed).
+            bc_Uw, bc_Tw = bc_U, bc_T
+            wt_ref, wt_frac = [], []
+            for i, (key, a, side, b) in enumerate(wt_sides):
+                idx = 0 if side == 0 else -1
+
+                def take_edge(f, a=a, idx=idx):
+                    return jnp.take(f, jnp.asarray([idx]),
+                                    axis=f.ndim - nd + a)
+
+                Un = take_edge(U[a]) * (1.0 if side else -1.0)
+                w = jnp.maximum(Un, 0.0) + th.c_from_pT(take_edge(p),
+                                                        take_edge(T))
+                delta = 0.5 * jnp.asarray(mesh.dx[a][-1 if side else 0],
+                                          dtype=w.dtype)
+                al = w * dt / delta
+                k = (w * dt / b.l_inf) if b.l_inf > 0 else 0.0
+                ref = (s.wt[i] + k * b.field_inf) / (1.0 + k)
+                frac = (1.0 + k) / (1.0 + al + k)
+                wt_ref.append(ref)
+                wt_frac.append(frac)
+                sub = bcm.Mixed(ref, frac)
+                if key == "p":
+                    bc_p = bc_p.replace(a, side, sub)
+                elif key == "T":
+                    bc_Tw = bc_Tw.replace(a, side, sub)
+                else:
+                    bc_Uw = bc_Uw.replace(a, side, sub)
+            bc_ew = (common.e_bcs_from_T(bc_Tw, th.e_from_T,
+                                         getattr(th, "Cv", None))
+                     if wt_has_T else bc_e)
+
             # resolve inletOutlet markers against the current flow direction
-            bc_Ur = bcm.resolve_inlet_outlet(bc_U, U, nd)
-            bc_Tr = bcm.resolve_inlet_outlet(bc_T, U, nd)
+            bc_Ur = bcm.resolve_inlet_outlet(bc_Uw, U, nd)
+            bc_Tr = bcm.resolve_inlet_outlet(bc_Tw, U, nd)
             bc_p = bcm.resolve_inlet_outlet(bc_p, U, nd)
-            bc_er = bcm.resolve_inlet_outlet(bc_e, U, nd)
+            bc_er = bcm.resolve_inlet_outlet(bc_ew, U, nd)
             c = th.c_from_pT(p, T)
             mu_mol = th.mu(p, T)
             alphau_mol = th.alphah(p, T)
@@ -480,9 +553,26 @@ class QGDFoam:
                 # is physical; broadcast it into the replicated carry
                 pbc_new.append(common.spmd.edge_shard_value(g, a, side))
 
+            # store the realized waveTransmissive face values: the mixed
+            # condition evaluated against the updated interior cells
+            wt_new = []
+            for i, (key, a, side, b) in enumerate(wt_sides):
+                idx = 0 if side == 0 else -1
+
+                def take_edge(f, a=a, idx=idx):
+                    return jnp.take(f, jnp.asarray([idx]),
+                                    axis=f.ndim - nd + a)
+
+                T_edge = th.T_from_e(take_edge(e_new))
+                p_edge = th.p_from_rho_T(take_edge(rho_new), T_edge)
+                phi_c = {"p": p_edge, "T": T_edge,
+                         "U": take_edge(U_new)}[key]
+                v = wt_frac[i] * wt_ref[i] + (1.0 - wt_frac[i]) * phi_c
+                wt_new.append(common.spmd.edge_shard_value(v, a, side))
+
             return State(rho=rho_new, rhoU=rhoU_new, rhoE=rhoE_new,
                          sc=coeffs.sc, t=t + dt_new, dt=dt_new,
-                         pbc=tuple(pbc_new))
+                         pbc=tuple(pbc_new), wt=tuple(wt_new))
 
         if external_sources:
             return step
