@@ -291,6 +291,14 @@ def main():
                     out["cpu8_weak_scaling_varsc"] = ws(
                         cases.supersonic_jet_varsc, "spmd")
                 if time.perf_counter() - t_start < 480:
+                    # graded + wedge geometry via the per-shard ShardMesh
+                    # windows (r5: the two former spmd exclusions)
+                    out["cpu8_weak_scaling_graded"] = ws(
+                        cases.supersonic_jet_graded, "spmd")
+                if time.perf_counter() - t_start < 480:
+                    out["cpu8_weak_scaling_wedge"] = ws(
+                        cases.wedge_blob, "spmd")
+                if time.perf_counter() - t_start < 480:
                     out["cpu8_weak_scaling_gspmd"] = ws(
                         cases.supersonic_jet, "gspmd")
         except Exception as e:  # noqa: BLE001

@@ -222,7 +222,13 @@ def grad_cell(field, bcs: bcm.FieldBCs, mesh: Mesh, t=0.0):
     """fvc::grad — Gauss cell-centered gradient of a scalar:
     (1/V) sum_f S_f f_f; on rectilinear = diff(face interp)/dx per axis.
     Returns (ndim, ..., cells)."""
-    faces = interpolate(field, bcs, mesh, t=t)
+    return grad_cell_from_faces(interpolate(field, bcs, mesh, t=t), mesh)
+
+
+def grad_cell_from_faces(faces, mesh: Mesh):
+    """fvc::grad from already-interpolated face values — lets solvers
+    reuse their padded interpolations (one fewer ghost_pad, hence one
+    fewer halo exchange per step under spmd decomposition)."""
     nd = mesh.ndim
     comps = []
     for a in range(nd):

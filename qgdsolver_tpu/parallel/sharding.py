@@ -97,17 +97,15 @@ def sharded_step(step_fn, state, mesh_ndim: int, dmesh: DeviceMesh):
 def spmd_supported(solver) -> tp.Optional[str]:
     """None if `build_spmd_step` can decompose this solver; else the reason.
 
-    The spmd path requires translation-invariant local metrics (uniform
-    spacing along decomposed axes) and no globally-indexed cell masks."""
+    Nonuniform (graded) spacings and wedge (axisymmetric) metrics ARE
+    supported: the per-shard geometry is windowed from the global mesh's
+    arrays inside the shard body (parallel.shardmesh.ShardMesh), exactly
+    reproducing the serial discretization at partition faces — the
+    counterpart of the reference's mesh-agnostic decomposition
+    (extendedFaceStencilCalculateWeights_8C_source.html:165-229)."""
     mesh = solver.mesh
-    if getattr(mesh, "axisymmetric", False):
-        return "axisymmetric (wedge) meshes use global radial metrics"
     if getattr(mesh, "solid", None) is not None:
         return "stairstep solid masks are globally indexed"
-    for a in range(mesh.ndim):
-        d = mesh.dx[a]
-        if not np.allclose(d, d[0]):
-            return f"non-uniform spacing along axis {a}"
     tm = getattr(solver, "tau_model", None)
     if tm is not None:
         if getattr(tm, "const_sc_mask", None) is not None:
@@ -182,9 +180,31 @@ def build_spmd_step(solver, dmesh: DeviceMesh, state,
 
     import dataclasses as dc
 
-    local_mesh = Mesh(x_faces=tuple(local_faces), dtype=mesh.dtype)
-    local_solver = dc.replace(solver, mesh=local_mesh)
-    local_step = getattr(local_solver, step_fn_name)(**step_kwargs)
+    # uniform planar meshes: every shard's block is geometrically
+    # identical, so a static local Mesh (shard-0 window) is exact and
+    # cheapest to compile.  Graded or wedge meshes window the global
+    # geometry per shard inside the body (ShardMesh).
+    uniform = not getattr(mesh, "axisymmetric", False) and all(
+        np.allclose(mesh.dx[a], mesh.dx[a][0]) for a in range(nd))
+    local_shape = tuple(len(f) - 1 for f in local_faces)
+    if uniform:
+        local_mesh = Mesh(x_faces=tuple(local_faces), dtype=mesh.dtype)
+        local_solver = dc.replace(solver, mesh=local_mesh)
+        local_step = getattr(local_solver, step_fn_name)(**step_kwargs)
+    else:
+        from .shardmesh import ShardMesh
+
+        def local_step(s):
+            starts = []
+            for a in range(nd):
+                ax = axes[a]
+                if ax is None or ax.size == 1:
+                    starts.append(0)
+                else:
+                    starts.append(jax.lax.axis_index(ax.name) * ax.n_local)
+            smesh = ShardMesh(mesh, starts, local_shape)
+            ssolver = dc.replace(solver, mesh=smesh)
+            return getattr(ssolver, step_fn_name)(**step_kwargs)(s)
 
     def spec_for(leaf):
         leaf = jax.numpy.asarray(leaf)

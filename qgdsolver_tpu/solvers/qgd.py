@@ -434,7 +434,9 @@ class QGDFoam:
                 r_c = mesh.cell_coords(1)
                 divU_cell = fvsc.div_flux(
                     tuple(Uf[a][a] * area[a] for a in range(nd)), mesh)
-                gradp_cell = fvsc.grad_cell(p, bc_p, mesh, t=t)
+                # reuse the already-interpolated pf (same p_pad/bc_p):
+                # saves a ghost_pad (a halo exchange per step under spmd)
+                gradp_cell = fvsc.grad_cell_from_faces(pf, mesh)
                 u_gradp_cell = sum(U[i] * gradp_cell[i] for i in range(nd))
                 gam_c = (gamma_const if gamma_const is not None
                          else th.gamma_of(T))

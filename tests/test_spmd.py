@@ -154,3 +154,127 @@ def test_3d_duct_spmd_parity():
     solver, state = cases.supersonic_duct_3d(shape=(16, 8, 6),
                                              dtype=np.float64)
     _parity(solver, state, 6, _dmesh(2, 2), rtol=1e-12)
+
+
+def _graded_faces(n, L, ratio, origin=0.0):
+    """simpleGrading-style geometric spacing with total expansion `ratio`."""
+    r = ratio ** (1.0 / max(n - 1, 1))
+    w = r ** np.arange(n)
+    w = w / w.sum() * L
+    return origin + np.concatenate([[0.0], np.cumsum(w)])
+
+
+def test_qgd_graded_jet_parity_2x2():
+    """Nonuniform (simpleGrading) spacings decompose exactly (VERDICT r4
+    next #4): the per-shard ShardMesh windows of the global geometry give
+    partition faces the true neighbour-side spacings, so the graded jet
+    matches the serial run to fp tolerance."""
+    from qgdsolver_tpu.core.mesh import Mesh
+    from qgdsolver_tpu.physics.thermo import PerfectGasThermo
+    from qgdsolver_tpu.physics.qgdcoeffs import ConstScPrModel1
+    from qgdsolver_tpu.solvers import common
+    from qgdsolver_tpu.solvers.qgd import QGDFoam
+
+    nx, ny = 48, 32
+    xf = _graded_faces(nx, 4.0, 3.0)
+    yf = _graded_faces(ny, 2.0, 0.4)
+    mesh = Mesh(x_faces=(xf, yf), dtype=np.float64)
+    th = PerfectGasThermo(R=287.0, Cp=1004.5)
+    u_jet = 2.0 * float(th.c(jnp.asarray(300.0)))
+    y = np.asarray(mesh.centers[1])
+    delta = 3.0 * float(mesh.dx[1][0])
+    prof = 0.5 * (np.tanh((0.3 - np.abs(y - 1.0)) / delta) + 1.0)
+
+    def inlet_u(t, coords):
+        yy = coords[1]
+        ux = u_jet * 0.5 * (jnp.tanh((0.3 - jnp.abs(yy - 1.0)) / delta)
+                            + 1.0) * jnp.ones_like(yy)
+        return jnp.stack(jnp.broadcast_arrays(ux, jnp.zeros_like(ux)), 0)
+
+    solver = QGDFoam(
+        mesh=mesh, thermo=th, tau_model=ConstScPrModel1(alpha=0.5, Sc=1.0),
+        bc_U=bcm.FieldBCs(((bcm.FixedValue(inlet_u), bcm.ZeroGradient()),
+                           (bcm.ZeroGradient(), bcm.ZeroGradient()))),
+        bc_p=bcm.FieldBCs(((bcm.ZeroGradient(), bcm.FixedValue(1e5)),
+                           (bcm.FixedValue(1e5), bcm.FixedValue(1e5)))),
+        bc_T=bcm.FieldBCs(((bcm.FixedValue(300.0), bcm.ZeroGradient()),
+                           (bcm.ZeroGradient(), bcm.ZeroGradient()))),
+        time=__import__(
+            "qgdsolver_tpu.solvers.common", fromlist=["TimeControls"]
+        ).TimeControls(max_co=0.3, max_dt=1e-4, dt0=1e-7),
+    )
+    assert shd.spmd_supported(solver) is None
+    p0 = np.full(mesh.shape, 1e5)
+    T0 = np.full(mesh.shape, 300.0)
+    U0 = np.zeros((2,) + mesh.shape)
+    U0[0] = u_jet * np.exp(-np.asarray(mesh.centers[0]))[:, None] * prof[None, :]
+    state = solver.init(jnp.asarray(p0), jnp.asarray(T0), jnp.asarray(U0))
+    _parity(solver, state, 10, _dmesh(2, 2), rtol=1e-11)
+
+
+def test_qgd_wedge_parity_2x2():
+    """Wedge (axisymmetric) metrics decompose exactly: the r-weighted
+    face areas / volumes / hoop sources window per shard along BOTH the
+    axial and the radial axis (VERDICT r4 next #4)."""
+    from qgdsolver_tpu.core.mesh import AxisymmetricMesh
+    from qgdsolver_tpu.physics.thermo import PerfectGasThermo
+    from qgdsolver_tpu.physics.qgdcoeffs import ConstScPrModel1
+    from qgdsolver_tpu.solvers.common import TimeControls
+    from qgdsolver_tpu.solvers.qgd import QGDFoam
+
+    nx, nr = 32, 16
+    mesh = AxisymmetricMesh(
+        x_faces=(np.linspace(0.0, 1.0, nx + 1),
+                 np.linspace(0.0, 0.5, nr + 1)),
+        dtype=np.float64)
+    th = PerfectGasThermo(R=287.0, Cp=1004.5)
+    solver = QGDFoam(
+        mesh=mesh, thermo=th, tau_model=ConstScPrModel1(alpha=0.5, Sc=1.0),
+        bc_U=bcm.FieldBCs(((bcm.ZeroGradient(), bcm.ZeroGradient()),
+                           (bcm.Symmetry(), bcm.FixedValue(jnp.zeros(2))))),
+        bc_p=bcm.FieldBCs.uniform(bcm.ZeroGradient(), 2),
+        bc_T=bcm.FieldBCs.uniform(bcm.ZeroGradient(), 2),
+        time=TimeControls(max_co=0.3, max_dt=1e-4, dt0=1e-7),
+    )
+    assert shd.spmd_supported(solver) is None
+    x = np.asarray(mesh.centers[0])[:, None] * np.ones(mesh.shape)
+    r = np.asarray(mesh.centers[1])[None, :] * np.ones(mesh.shape)
+    # off-center hot blob: excites axial AND radial flow incl. the hoop
+    # sources at the axis
+    p0 = 1e5 * (1.0 + 0.2 * np.exp(-((x - 0.4) ** 2 + (r - 0.1) ** 2)
+                                   / 0.02))
+    T0 = np.full(mesh.shape, 300.0)
+    state = solver.init(jnp.asarray(p0), jnp.asarray(T0),
+                        jnp.zeros((2,) + mesh.shape))
+    _parity(solver, state, 10, _dmesh(2, 2), rtol=1e-11)
+
+
+def test_qhd_graded_cavity_parity_cg():
+    """Graded QHD cavity: the matrix-free CG (Poisson + Helmholtz) runs
+    on traced per-shard geometry (helmholtz_diag, face areas, d_centers
+    all ShardMesh windows) and matches the serial run."""
+    from qgdsolver_tpu.core.mesh import Mesh
+    from qgdsolver_tpu.physics.thermo import RhoConstThermo
+    from qgdsolver_tpu.physics.qgdcoeffs import H2bynuQHD
+    from qgdsolver_tpu.solvers.common import TimeControls
+    from qgdsolver_tpu.solvers.qhd import QHDFoam
+
+    n = 32
+    xf = _graded_faces(n, 1.0, 2.5)
+    yf = _graded_faces(n, 1.0, 1.0 / 2.5)
+    mesh = Mesh(x_faces=(xf, yf), dtype=np.float64)
+    thermo = RhoConstThermo(rho0=1.0, Cp=1000.0, mu0=1e-2, Pr=0.71,
+                            beta=-3e-3)
+    solver = QHDFoam(
+        mesh=mesh, thermo=thermo, tau_model=H2bynuQHD(alpha=0.3),
+        g=(0.0, -9.81),
+        bc_U=bcm.FieldBCs.uniform(bcm.FixedValue(jnp.zeros(2)), 2),
+        bc_T=bcm.FieldBCs(((bcm.FixedValue(1.0), bcm.FixedValue(-1.0)),
+                           (bcm.ZeroGradient(), bcm.ZeroGradient()))),
+        bc_p=bcm.FieldBCs.uniform(bcm.ZeroGradient(), 2),
+        time=TimeControls(max_co=0.3, max_dt=0.05, dt0=1e-3),
+        cg_tol=1e-12,
+    )
+    assert shd.spmd_supported(solver) is None
+    state = solver.init(jnp.zeros((2, n, n)), jnp.zeros((n, n)))
+    _parity(solver, state, 6, _dmesh(2, 2), rtol=1e-8)
