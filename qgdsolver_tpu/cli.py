@@ -97,6 +97,13 @@ def run_case(case_dir: str, max_steps=None, chunk: int = 50,
             state = to_sh(state)
             log("sharded fused kernel path engaged (%dx%d mesh)" % (px, py))
         else:
+            from .solvers import particles as prt
+
+            if isinstance(state, prt.PState):
+                # decomposePar of the cloud: slot blocks ordered by the
+                # parcels' resident shard
+                state = state._replace(cloud=prt.distribute_cloud(
+                    state.cloud, solver.mesh, dmesh))
             step, to_spmd = shd.build_spmd_step(solver, dmesh, state)
             state = to_spmd(state)
             log("shard_map decomposition engaged (%dx%d mesh)" % (px, py))

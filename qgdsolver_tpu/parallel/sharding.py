@@ -116,12 +116,14 @@ def spmd_supported(solver) -> tp.Optional[str]:
     if (getattr(solver, "mesh_scale", None) is not None
             or getattr(solver, "mesh_velocity", None) is not None):
         return "deforming meshes (DyM) use global face coordinates"
+    return None
+
+
+def _is_particles(solver) -> bool:
     from ..solvers import particles as prt
 
-    if isinstance(solver, (prt.ParticlesQGDFoam, prt.ParticlesQHDFoam,
-                           prt.ReactingLagrangianQGDFoam)):
-        return "Lagrangian parcels index the global mesh"
-    return None
+    return isinstance(solver, (prt.ParticlesQGDFoam, prt.ParticlesQHDFoam,
+                               prt.ReactingLagrangianQGDFoam))
 
 
 def build_spmd_step(solver, dmesh: DeviceMesh, state,
@@ -183,13 +185,23 @@ def build_spmd_step(solver, dmesh: DeviceMesh, state,
     # uniform planar meshes: every shard's block is geometrically
     # identical, so a static local Mesh (shard-0 window) is exact and
     # cheapest to compile.  Graded or wedge meshes window the global
-    # geometry per shard inside the body (ShardMesh).
-    uniform = not getattr(mesh, "axisymmetric", False) and all(
-        np.allclose(mesh.dx[a], mesh.dx[a][0]) for a in range(nd))
+    # geometry per shard inside the body (ShardMesh) — as do Lagrangian
+    # clouds, whose parcel positions are GLOBAL coordinates (locate and
+    # the migration block faces need the shard's true window).
+    uniform = (not getattr(mesh, "axisymmetric", False)
+               and not _is_particles(solver)
+               and all(np.allclose(mesh.dx[a], mesh.dx[a][0])
+                       for a in range(nd)))
+    def replace_mesh(sv, m):
+        # particle solvers nest the mesh inside their fluid solver
+        if _is_particles(sv):
+            return dc.replace(sv, fluid=dc.replace(sv.fluid, mesh=m))
+        return dc.replace(sv, mesh=m)
+
     local_shape = tuple(len(f) - 1 for f in local_faces)
     if uniform:
         local_mesh = Mesh(x_faces=tuple(local_faces), dtype=mesh.dtype)
-        local_solver = dc.replace(solver, mesh=local_mesh)
+        local_solver = replace_mesh(solver, local_mesh)
         local_step = getattr(local_solver, step_fn_name)(**step_kwargs)
     else:
         from .shardmesh import ShardMesh
@@ -203,11 +215,28 @@ def build_spmd_step(solver, dmesh: DeviceMesh, state,
                 else:
                     starts.append(jax.lax.axis_index(ax.name) * ax.n_local)
             smesh = ShardMesh(mesh, starts, local_shape)
-            ssolver = dc.replace(solver, mesh=smesh)
+            ssolver = replace_mesh(solver, smesh)
             return getattr(ssolver, step_fn_name)(**step_kwargs)(s)
 
-    def spec_for(leaf):
+    sharded_names = tuple(ax.name for ax in axes
+                          if ax is not None and ax.size > 1)
+    n_shards = int(np.prod([ax.size for ax in axes
+                            if ax is not None and ax.size > 1] or [1]))
+
+    def spec_for(path, leaf):
         leaf = jax.numpy.asarray(leaf)
+        if any("cloud" in str(k) for k in path):
+            # Lagrangian cloud arrays: parcel SLOTS shard across the whole
+            # device mesh (each shard owns a fixed-capacity slot block);
+            # particles.distribute_cloud orders the initial slots by
+            # spatial residency (the decomposePar of the cloud)
+            if leaf.ndim == 0 or not sharded_names:
+                return P()
+            if leaf.shape[-1] % n_shards:
+                raise ValueError(
+                    f"cloud slot count {leaf.shape[-1]} not divisible by "
+                    f"{n_shards} shards — use particles.distribute_cloud")
+            return P(*([None] * (leaf.ndim - 1) + [sharded_names]))
         if leaf.ndim < nd:
             return P()
         lead = [None] * (leaf.ndim - nd)
@@ -225,7 +254,7 @@ def build_spmd_step(solver, dmesh: DeviceMesh, state,
                     f"(global {mesh.shape[a]}) has no spmd decomposition")
         return P(*(lead + spat))
 
-    specs = jax.tree_util.tree_map(spec_for, state)
+    specs = jax.tree_util.tree_map_with_path(spec_for, state)
 
     def body(s):
         with spmd.active(ctx):

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.mesh import Mesh
+from ..parallel import spmd
 from . import common
 
 
@@ -115,12 +116,18 @@ class ThermoCloud:
         dTp = (T_at - c.Tp) * facT * act
         Tp_new = c.Tp + dTp
 
-        # boundary handling per axis
+        # boundary handling per axis — against the GLOBAL domain bounds:
+        # under spmd decomposition the block edges are partition faces
+        # (parcels crossing them migrate, see _migrate), only the global
+        # boundary is a wall
+        ctx = spmd.current()
+        gmesh = (ctx.global_mesh if ctx is not None
+                 and ctx.global_mesh is not None else mesh)
         active = act
         xs = []
         for a in range(nd):
-            lo = float(mesh.x_faces[a][0])
-            hi = float(mesh.x_faces[a][-1])
+            lo = float(gmesh.x_faces[a][0])
+            hi = float(gmesh.x_faces[a][-1])
             xa = x_new[a]
             if self.wall == "periodic":
                 xa = lo + jnp.mod(xa - lo, hi - lo)
@@ -135,6 +142,11 @@ class ThermoCloud:
         x_new = jnp.stack(xs, axis=0)
 
         cloud = CloudState(x=x_new, u=u_new, Tp=Tp_new, dp=c.dp, active=active)
+        # parcels that crossed a partition face move to the neighbour
+        # shard (reference: particle migration across processor
+        # boundaries, SURVEY.md §3.5); source deposition above used the
+        # PRE-move owner cells, which are always local
+        cloud = _migrate(cloud, mesh)
 
         if not self.two_way:
             z = jnp.zeros(mesh.shape, dtype=rho_g.dtype)
@@ -159,6 +171,93 @@ class ThermoCloud:
         return cloud, rhoUSu, rhoESu
 
 
+def _migrate(c: CloudState, mesh) -> CloudState:
+    """Move parcels that left this shard's block to the neighbour shard.
+
+    The TPU-native replacement of OpenFOAM's processor-boundary particle
+    transfer (SURVEY.md §3.5 "particle migration PROCESS BOUNDARY"):
+    per decomposed axis, parcels beyond the local block's faces ride a
+    `jax.lax.ppermute` to the next/previous shard — axis-sequential, so a
+    diagonal mover reaches the corner shard in two hops, exactly like the
+    ghost-corner exchange.  Fixed-size slots: each shard's capacity is its
+    slot count; incoming parcels compact into inactive slots via a stable
+    active-first argsort (no scatter collisions).  Parcels move at most
+    one block per step (the advective CFL keeps them well under one CELL
+    per step).  No-op outside an spmd context.
+    """
+    ctx = spmd.current()
+    if ctx is None:
+        return c
+    nd = mesh.ndim
+    act = c.active
+    cap = act.shape[0]
+    arrays = [c.x, c.u, c.Tp, c.dp]
+    for a in range(nd):
+        sh = ctx.axes[a]
+        if sh is None or sh.size == 1:
+            continue
+        xf = mesh.x_faces[a]
+        lo, hi = xf[0], xf[-1]
+        up = act * (arrays[0][a] >= hi)
+        dn = act * (arrays[0][a] < lo)
+        stay = act * (1.0 - up) * (1.0 - dn)
+        # cyclic one-hop exchange; at the global domain edge the wall
+        # handling already wrapped (periodic: the cyclic hop IS the
+        # wraparound) or clamped/deactivated (escape/rebound: up/dn empty)
+        perm_up = [(i, (i + 1) % sh.size) for i in range(sh.size)]
+        perm_dn = [(i, (i - 1) % sh.size) for i in range(sh.size)]
+        act_up = jax.lax.ppermute(up, sh.name, perm_up)
+        act_dn = jax.lax.ppermute(dn, sh.name, perm_dn)
+        vals_up = [jax.lax.ppermute(arr, sh.name, perm_up) for arr in arrays]
+        vals_dn = [jax.lax.ppermute(arr, sh.name, perm_dn) for arr in arrays]
+        pool_act = jnp.concatenate([stay, act_up, act_dn])
+        pool = [jnp.concatenate([arr, u_, d_], axis=-1)
+                for arr, u_, d_ in zip(arrays, vals_up, vals_dn)]
+        # active slots first (stable), truncate to capacity; actives
+        # beyond capacity are dropped — size the cloud's slots per shard
+        # at the maximum expected residency (distribute_cloud does)
+        order = jnp.argsort(pool_act < 0.5, stable=True)[:cap]
+        act = pool_act[order]
+        arrays = [arr[..., order] for arr in pool]
+    return CloudState(x=arrays[0], u=arrays[1], Tp=arrays[2], dp=arrays[3],
+                      active=act)
+
+
+def distribute_cloud(cloud: CloudState, mesh, dmesh,
+                     capacity: int = None) -> CloudState:
+    """Host-side decomposePar of a cloud: reorder parcels into per-shard
+    slot blocks so that, sharded over `dmesh` (slots split across all
+    device-mesh axes in device order), every shard's slice holds exactly
+    the parcels resident in its spatial block.
+
+    capacity: slots per shard (default: total slot count — no shard can
+    ever overflow).  Returns a cloud with n_shards*capacity slots.
+    """
+    shape = dmesh.devices.shape
+    nshards = int(np.prod(shape))
+    cap = int(capacity if capacity is not None else cloud.active.shape[0])
+    x = np.asarray(cloud.x)
+    nd = x.shape[0]
+    sidx = np.zeros(x.shape[1], dtype=int)
+    for a in range(min(nd, len(shape))):
+        npa = int(shape[a])
+        nloc = mesh.shape[a] // npa
+        ci = np.clip(np.searchsorted(np.asarray(mesh.x_faces[a]), x[a],
+                                     side="right") - 1, 0, mesh.shape[a] - 1)
+        sidx = sidx * npa + ci // nloc
+    fields = {f: np.asarray(getattr(cloud, f)) for f in cloud._fields}
+    out = {f: np.zeros(v.shape[:-1] + (nshards * cap,), dtype=v.dtype)
+           for f, v in fields.items()}
+    for s in range(nshards):
+        sel = np.where((sidx == s) & (fields["active"] > 0.5))[0]
+        if len(sel) > cap:
+            raise ValueError(
+                f"shard {s} holds {len(sel)} parcels > capacity {cap}")
+        for f, v in fields.items():
+            out[f][..., s * cap: s * cap + len(sel)] = v[..., sel]
+    return CloudState(**{f: jnp.asarray(v) for f, v in out.items()})
+
+
 class PState(tp.NamedTuple):
     fluid: tp.Any
     cloud: CloudState
@@ -171,6 +270,10 @@ class ParticlesQGDFoam:
 
     fluid: tp.Any  # QGDFoam
     cloud: ThermoCloud = ThermoCloud()
+
+    @property
+    def mesh(self):
+        return self.fluid.mesh
 
     def init(self, p0, T0, U0, x_p, u_p, T_p, d_p, **kw) -> PState:
         return PState(
@@ -206,6 +309,10 @@ class ParticlesQHDFoam:
 
     fluid: tp.Any  # QHDFoam
     cloud: ThermoCloud = ThermoCloud(two_way=False)
+
+    @property
+    def mesh(self):
+        return self.fluid.mesh
 
     def init(self, U0, T0, x_p, u_p, T_p, d_p, **kw) -> PState:
         return PState(
@@ -280,6 +387,10 @@ class ReactingLagrangianQGDFoam:
 
     fluid: tp.Any  # ReactingQGDFoam
     cloud: ReactingCloud = ReactingCloud()
+
+    @property
+    def mesh(self):
+        return self.fluid.mesh
 
     def init(self, p0, T0, U0, Y0, x_p, u_p, T_p, d_p, **kw) -> PState:
         return PState(
