@@ -147,17 +147,33 @@ def compile_smoke():
     ok &= check("whole_frame_varsc", lambda: whole((512, 512), True, False))
     ok &= check("tiled_plain", lambda: tiled((4096, 2048), False))
     ok &= check("tiled_varsc", lambda: tiled((4096, 2048), True))
-    def fused3d():
+    def fused3d(varsc=False):
         from qgdsolver_tpu.ops import fused_qgd3d
 
-        solver, state = cases.supersonic_duct_3d(shape=(64, 62, 62),
-                                                 dtype=np.float32)
+        maker = (cases.supersonic_jet_3d_varsc if varsc
+                 else cases.supersonic_duct_3d)
+        solver, state = maker(shape=(64, 62, 62), dtype=np.float32)
         step, to_f, _ = fused_qgd3d.build_fused_step_3d(solver)
         return step, to_f(state)
+
+    def sharded3d():
+        from qgdsolver_tpu.ops import fused_qgd3d
+        from qgdsolver_tpu.parallel import sharding as shd
+
+        devs = jax.devices()
+        px = 2 if len(devs) >= 2 else 1
+        dmesh = shd.make_device_mesh(devs[:px], shape=(px, 1))
+        solver, state = cases.supersonic_jet_3d_varsc(shape=(64, 62, 62),
+                                                      dtype=np.float32)
+        step, to_s, _ = fused_qgd3d.build_sharded_fused_step_3d(solver,
+                                                                dmesh)
+        return step, to_s(state)
 
     ok &= check("sharded", sharded)
     ok &= check("sharded_varsc", lambda: sharded(varsc=True))
     ok &= check("fused_3d", fused3d)
+    ok &= check("fused_3d_varsc", lambda: fused3d(varsc=True))
+    ok &= check("sharded_3d_varsc", sharded3d)
     return ok, report
 
 
@@ -261,6 +277,19 @@ def main():
             out["3d_composable_points_per_s"] = round(pts3 * 10 / el, 1)
         except Exception as e:  # noqa: BLE001
             out["3d_error"] = _err(e)
+            traceback.print_exc(file=sys.stderr)
+        try:  # 3D FLAGSHIP: varScModel5 + qgdFlux + profiled jet inlet
+            solver3v, state3v = cases.supersonic_jet_3d_varsc(
+                shape=(256, 126, 126), dtype=np.float32)
+            pps3v, _, spread3v, fused3v = _measure(solver3v, state3v,
+                                                   n_steps=60, repeats=3)
+            out.update({
+                "3d_varsc_points_per_s": round(pps3v, 1),
+                "3d_varsc_fused": fused3v,
+                "3d_varsc_spread": round(spread3v, 4),
+            })
+        except Exception as e:  # noqa: BLE001
+            out["3d_varsc_error"] = _err(e)
             traceback.print_exc(file=sys.stderr)
         print(json.dumps(out), flush=True)
 

@@ -250,3 +250,51 @@ def supersonic_duct_3d(shape=(256, 126, 126), dtype=np.float32, mach=2.0):
                     jnp.zeros(mesh.shape, dtype=dtype),
                     jnp.zeros(mesh.shape, dtype=dtype)])
     return solver, solver.init(p0=p0, T0=T0, U0=U0)
+
+
+def supersonic_jet_3d_varsc(shape=(256, 126, 126), dtype=np.float32,
+                            mach=2.0):
+    """3D FLAGSHIP shock-capturing jet: a round Mach-`mach` jet entering a
+    quiescent box through a profiled slot in the x_lo plane (array-valued
+    inlet BCs), varScModel5 shock sensor, qgdFlux regularizing-flux p BC
+    on the outflow — the 3D counterpart of the 2D big-grid flagship
+    config; runs on the fused 3D x-slab kernel (ops.fused_qgd3d r5)."""
+    from .physics.qgdcoeffs import VarScModel5
+    from .solvers.qgd import QGDFoam
+
+    mesh = Mesh.uniform(shape, lengths=(4.0, 2.0, 2.0), dtype=dtype)
+    th = PerfectGasThermo(R=287.0, Cp=1004.5)
+    p_inf, T_inf = 1.0e5, 300.0
+    u_jet = mach * float(th.c(jnp.asarray(T_inf)))
+    yc = np.asarray(mesh.centers[1])
+    zc = np.asarray(mesh.centers[2])
+    rr = np.sqrt((yc[:, None] - 1.0) ** 2 + (zc[None, :] - 1.0) ** 2)
+    delta = 3.0 * float(mesh.dx[1][0])
+    prof = 0.5 * (np.tanh((0.3 - rr) / delta) + 1.0)  # (ny, nz) slot
+    zg = bcm.ZeroGradient()
+    # value array (3, 1, ny, nz): normal-axis dim kept as 1 (core.bc spec)
+    profj = jnp.asarray(prof)
+    bc_U = bcm.FieldBCs((
+        (bcm.FixedValue(jnp.stack([u_jet * profj, jnp.zeros_like(profj),
+                                   jnp.zeros_like(profj)])[:, None]), zg),
+        (zg, zg), (zg, zg)))
+    bc_p = bcm.FieldBCs(((zg, bcm.QGDFluxP()),
+                         (bcm.FixedValue(p_inf), bcm.FixedValue(p_inf)),
+                         (bcm.FixedValue(p_inf), bcm.FixedValue(p_inf))))
+    bc_T = bcm.FieldBCs(((bcm.FixedValue(T_inf), zg),
+                         (zg, zg), (zg, zg)))
+    solver = QGDFoam(
+        mesh=mesh, thermo=th,
+        tau_model=VarScModel5(alpha=0.5, Pr=1.0, rC=0.5, minSc=0.05,
+                              maxSc=1.0, smoothCoeff=0.1),
+        bc_U=bc_U, bc_p=bc_p, bc_T=bc_T,
+        time=common.TimeControls(max_co=0.2, max_dt=1e-3, dt0=1e-7),
+    )
+    p0 = jnp.full(mesh.shape, p_inf, dtype=dtype)
+    T0 = jnp.full(mesh.shape, T_inf, dtype=dtype)
+    decay = np.exp(-np.asarray(mesh.centers[0]))[:, None, None]
+    U0 = jnp.stack([jnp.asarray(u_jet * prof[None] * decay, dtype=dtype),
+                    jnp.zeros(mesh.shape, dtype=dtype),
+                    jnp.zeros(mesh.shape, dtype=dtype)])
+    return solver, solver.init(p0=p0, T0=T0, U0=U0,
+                               sc0=jnp.full(mesh.shape, 0.05, dtype=dtype))

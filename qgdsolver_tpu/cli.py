@@ -84,11 +84,18 @@ def run_case(case_dir: str, max_steps=None, chunk: int = 50,
         dmesh = shd.make_device_mesh(jax.devices()[: px * py],
                                      shape=(px, py), axis_names=("X", "Y"))
         use_fused_sh = False
+        use_fused_sh3 = False
         if fused == "auto" and jax.default_backend() == "tpu":
-            from .ops import fused_qgd2d
+            if (type(solver).__name__ == "QGDFoam"
+                    and solver.mesh.ndim == 2):
+                from .ops import fused_qgd2d
 
-            use_fused_sh = (type(solver).__name__ == "QGDFoam"
-                            and fused_qgd2d.supported(solver, sharded=True))
+                use_fused_sh = fused_qgd2d.supported(solver, sharded=True)
+            elif (type(solver).__name__ == "QGDFoam"
+                    and solver.mesh.ndim == 3 and py == 1):
+                from .ops import fused_qgd3d
+
+                use_fused_sh3 = fused_qgd3d.supported(solver)
         if use_fused_sh:
             from .ops import fused_qgd2d
 
@@ -96,6 +103,13 @@ def run_case(case_dir: str, max_steps=None, chunk: int = 50,
                 solver, dmesh)
             state = to_sh(state)
             log("sharded fused kernel path engaged (%dx%d mesh)" % (px, py))
+        elif use_fused_sh3:
+            from .ops import fused_qgd3d
+
+            step, to_sh, from_fused = \
+                fused_qgd3d.build_sharded_fused_step_3d(solver, dmesh)
+            state = to_sh(state)
+            log("sharded 3D fused pipeline engaged (%d-device x-ring)" % px)
         else:
             from .solvers import particles as prt
 

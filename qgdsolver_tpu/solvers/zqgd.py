@@ -264,3 +264,5 @@ from .qgd import QGDFoam as _Q  # noqa: E402
 ZQGDFoam.init = _Q.init
 ZQGDFoam._flux_sides = _Q._flux_sides
 ZQGDFoam._pbc_zeros = _Q._pbc_zeros
+ZQGDFoam._wt_sides = _Q._wt_sides
+ZQGDFoam._wt_init = _Q._wt_init

@@ -141,3 +141,162 @@ def test_fused3d_sod_tube_vs_exact():
     assert l1 < 0.04, f"3D Sod rho L1 error {l1}"
     u_prof = np.asarray(out.rhoU[0, :, 3, 3] / prof)
     assert np.mean(np.abs(u_prof - u_ex)) < 0.08
+
+
+def _flagship_case(shape=(8, 6, 6)):
+    """The 3D flagship config with the jet REACHING the outlet and a
+    pressure bump near it, so the qgdFlux dp/dn signal is far above f32
+    ulp(p) (the in-kernel ghost-plane path is genuinely exercised)."""
+    solver, state = cases.supersonic_jet_3d_varsc(shape=shape,
+                                                  dtype=np.float32)
+    mesh = solver.mesh
+    th = solver.thermo
+    xc = np.asarray(mesh.centers[0])[:, None, None]
+    yc = np.asarray(mesh.centers[1])[None, :, None]
+    zc = np.asarray(mesh.centers[2])[None, None, :]
+    rr = np.sqrt((yc - 1.0) ** 2 + (zc - 1.0) ** 2)
+    prof = 0.5 * (np.tanh((0.3 - rr) / (3.0 * float(mesh.dx[1][0]))) + 1.0)
+    u_jet = 2.0 * float(th.c(jnp.asarray(300.0)))
+    p0 = 1e5 * (1.0 + 0.3 * np.exp(-((xc - 3.4) ** 2 + (rr - 0.0) ** 2)
+                                   / 0.3)) * np.ones(mesh.shape)
+    U0 = np.zeros((3,) + mesh.shape, dtype=np.float32)
+    U0[0] = u_jet * prof * np.exp(-(4.0 - xc) / 2.0)
+    state = solver.init(p0=jnp.asarray(p0, dtype=np.float32),
+                        T0=jnp.full(mesh.shape, 300.0, dtype=np.float32),
+                        U0=jnp.asarray(U0),
+                        sc0=jnp.full(mesh.shape, 0.05, dtype=np.float32))
+    return solver, state
+
+
+def test_flagship3d_supported():
+    """varScModel5 + qgdFlux + array-valued inlet profile (VERDICT r4
+    next #3) are covered by the 3D fused kernel."""
+    solver, _ = _flagship_case()
+    assert fused_qgd3d.supported(solver)
+    assert solver.fused_supported()
+
+
+def test_flagship3d_matches_composable():
+    """10 steps of the flagship 3D config (varScModel5 sensor folded
+    in-kernel + fvc::smooth XLA pre-pass, in-kernel qgdFlux ghost planes,
+    profiled inlet) track the composable step."""
+    solver, state = _flagship_case()
+    step_ref = jax.jit(solver.make_step())
+    fstep, to_f, from_f = fused_qgd3d.build_fused_step_3d(solver,
+                                                          interpret=True)
+    fstep = jax.jit(fstep)
+    s = state
+    fs = to_f(state)
+    for _ in range(10):
+        s = step_ref(s)
+        fs = fstep(fs)
+    out = from_f(fs)
+    np.testing.assert_allclose(float(out.dt), float(s.dt), rtol=1e-6)
+    for name in ("rho", "rhoU", "rhoE", "sc"):
+        a = np.asarray(getattr(s, name), dtype=np.float64)
+        b = np.asarray(getattr(out, name), dtype=np.float64)
+        scale = np.max(np.abs(a))
+        np.testing.assert_allclose(b / scale, a / scale, rtol=2e-5,
+                                   atol=2e-5, err_msg=name)
+    # the lagged qgdFlux gradient carries over (pbc parity); the fused
+    # value is recovered from the f32 ghost plane, so allow a few
+    # ulp(p)/dx of reconstruction quantization on top of the f32 physics
+    a = np.asarray(s.pbc[0], dtype=np.float64)
+    b = np.asarray(out.pbc[0], dtype=np.float64)
+    scale = np.abs(a).max()
+    quant = 8.0 * np.float32(1e5) * np.finfo(np.float32).eps / 0.5
+    assert scale > 50.0 * quant, "qgdFlux signal must dominate quantization"
+    np.testing.assert_allclose(b, a, atol=quant + 2e-3 * scale)
+
+
+def test_flagship3d_multi_slab_matches_single():
+    """Slab decomposition invisible for the varsc path too (the sc_raw
+    strip fix repairs the slab-boundary sensor planes).  Tolerance: a few
+    f32 ulps — XLA contracts the varsc tau division chain into FMAs
+    differently per window shape (measured 1-ulp drift; the constScPr
+    variant above stays bitwise)."""
+    solver, state = _flagship_case(shape=(8, 6, 6))
+    s1, to1, _ = fused_qgd3d.build_fused_step_3d(solver, interpret=True,
+                                                 slab=8)
+    s2, to2, fr2 = fused_qgd3d.build_fused_step_3d(solver, interpret=True,
+                                                   slab=2)
+    f1, f2 = to1(state), to2(state)
+    s1j, s2j = jax.jit(s1), jax.jit(s2)
+    for _ in range(6):
+        f1 = s1j(f1)
+        f2 = s2j(f2)
+    for name in ("p", "T", "ux", "uy", "uz", "sc", "sc_raw"):
+        a = np.asarray(getattr(f1, name))
+        b = np.asarray(getattr(f2, name))
+        scale = np.abs(a).max() + 1e-30
+        # the relaxed sensor accumulates the 1-ulp seed over steps;
+        # 1e-4 of the sensor ceiling is far below any physical effect
+        np.testing.assert_allclose(b / scale, a / scale, rtol=0.0,
+                                   atol=1e-4, err_msg=name)
+
+
+def test_sharded3d_matches_serial():
+    """build_sharded_fused_step_3d (VERDICT r4 next #3): the x-ring
+    decomposed pipeline reproduces the serial fused run — fresh edge
+    planes ride ppermute, dt reduces with pmax/pmin, and the varsc
+    sensor's partition planes are strip-fixed before the cross-shard
+    fvc::smooth."""
+    from qgdsolver_tpu.parallel import sharding as shd
+
+    cpu = jax.devices("cpu")
+    if len(cpu) < 4:
+        pytest.skip("needs 4 virtual devices")
+    dmesh = shd.make_device_mesh(cpu[:4], shape=(4, 1))
+    solver, state = _flagship_case(shape=(16, 6, 6))
+    ser_step, ser_to, ser_from = fused_qgd3d.build_fused_step_3d(
+        solver, interpret=True)
+    sh_step, sh_to, sh_from = fused_qgd3d.build_sharded_fused_step_3d(
+        solver, dmesh, interpret=True)
+    f1 = ser_to(state)
+    f2 = sh_to(state)
+    j1, j2 = jax.jit(ser_step), jax.jit(sh_step)
+    for _ in range(6):
+        f1 = j1(f1)
+        f2 = j2(f2)
+    np.testing.assert_allclose(float(f2.dt), float(f1.dt), rtol=1e-6)
+    for name in ("p", "T", "ux", "uy", "uz", "sc"):
+        a = np.asarray(getattr(f1, name))
+        b = np.asarray(getattr(f2, name))
+        scale = np.abs(a).max() + 1e-30
+        np.testing.assert_allclose(b / scale, a / scale, rtol=0.0,
+                                   atol=1e-4, err_msg=name)
+    # the round-tripped composable states agree too (pbc recovery incl.)
+    s1, s2 = ser_from(f1), sh_from(f2)
+    for name in ("rho", "rhoU", "rhoE"):
+        a = np.asarray(getattr(s1, name))
+        b = np.asarray(getattr(s2, name))
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-4,
+                                   err_msg=name)
+
+
+def test_sharded3d_constscpr_bitwise():
+    """Without the varsc division chain the x-ring decomposition is exact
+    to the f32 bit (the plane exchange is the serial window verbatim)."""
+    from qgdsolver_tpu.parallel import sharding as shd
+
+    cpu = jax.devices("cpu")
+    if len(cpu) < 4:
+        pytest.skip("needs 4 virtual devices")
+    dmesh = shd.make_device_mesh(cpu[:4], shape=(4, 1))
+    solver, state = _case(shape=(16, 6, 6))
+    ser_step, ser_to, _ = fused_qgd3d.build_fused_step_3d(
+        solver, interpret=True, slab=4)
+    sh_step, sh_to, _ = fused_qgd3d.build_sharded_fused_step_3d(
+        solver, dmesh, interpret=True)
+    f1, f2 = ser_to(state), sh_to(state)
+    j1, j2 = jax.jit(ser_step), jax.jit(sh_step)
+    for _ in range(5):
+        f1 = j1(f1)
+        f2 = j2(f2)
+    for name in ("p", "T", "ux", "uy", "uz"):
+        a = np.asarray(getattr(f1, name))
+        b = np.asarray(getattr(f2, name))
+        scale = np.abs(a).max() + 1e-30
+        np.testing.assert_allclose(b / scale, a / scale, rtol=0.0,
+                                   atol=1e-6, err_msg=name)
