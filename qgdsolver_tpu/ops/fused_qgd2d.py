@@ -959,7 +959,31 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
                           + (1.0 - tm.rC) * scf)
                 sc_raw = jnp.clip(sc_raw, tm.minSc, tm.maxSc)
                 sc_raw = jnp.maximum(sc_raw, tm.cqSc)
-                emit_sc(sc_raw)
+                # FIRST fvc::smooth relaxation ring, folded in-kernel
+                # (VERDICT r4 next #1): f1 = max(f, nbr_max(f)/maxRatio)
+                # with edge-replicated neighbours at PHYSICAL boundaries
+                # (qgdcoeffs._neighbour_max convention; division kept for
+                # bitwise parity).  Rows whose 3x3 neighbourhood touches a
+                # stale slab halo are strip-recomputed by the wrapper.
+                f_ = sc_raw
+                up_n = rup(f_)
+                up_n = jnp.where(
+                    jnp.logical_and(is_hi, rowid == NR - 2), f_, up_n)
+                dn_n = rdn(f_)
+                dn_n = jnp.where(
+                    jnp.logical_and(is_lo, rowid == 1), f_, dn_n)
+                le_n = jnp.where(colid == M, f_, shl(f_))
+                ri_n = jnp.where(colid == 1, f_, shr(f_))
+                nb = jnp.maximum(jnp.maximum(up_n, dn_n),
+                                 jnp.maximum(le_n, ri_n))
+                sc_s1 = jnp.maximum(f_, nb / (1.0 + tm.smoothCoeff))
+                # change partial over the live cells (stale rows included:
+                # conservative — the continuation is idempotent)
+                live_sc = jnp.logical_and(
+                    jnp.logical_and(rowid >= 1, rowid <= NR - 2),
+                    jnp.logical_and(colid >= 1, colid <= M))
+                chg = jnp.max(jnp.where(live_sc, sc_s1 - sc_raw, 0.0))
+                emit_sc(sc_raw, sc_s1, chg)
         return results, dt_new
 
     if _frame_fn:
@@ -1460,6 +1484,11 @@ class TiledState(tp.NamedTuple):
     # emitted by the previous kernel pass; rows adjacent to slab
     # boundaries are strip-recomputed before the smooth)
     sc_raw: tp.Any = None
+    # carried FIRST fvc::smooth ring of sc_raw + its per-slab change
+    # partials (also kernel-emitted; VERDICT r4 next #1 — only the
+    # rarely-firing fixed-point continuation stays XLA-side)
+    sc_s1: tp.Any = None
+    sc_chg: tp.Any = None
 
 
 # Live-set model of the straight-line slab kernel: Mosaic holds ~50
@@ -1472,8 +1501,11 @@ TILED_VMEM_BUDGET = 100 * 1024 * 1024
 
 
 def _slab_vmem_bytes(slab: int, wp: int, n_state: int) -> int:
-    io = 2 * (n_state + 4) * slab * wp * 4        # double-buffered A-ins/outs
-    body = TILED_LIVE_FRAMES * (slab + 2) * wp * 4
+    # n_state > 4 => the varsc fold: ring-1 temporaries (+8 live frames)
+    # and the extra sc_s1 output block
+    extra = 1 if n_state > 4 else 0
+    io = 2 * (n_state + 4 + extra) * slab * wp * 4  # double-buffered blocks
+    body = (TILED_LIVE_FRAMES + 8 * extra) * (slab + 2) * wp * 4
     small = (4 * n_state + 24) * 8 * wp * 4       # halo blocks + ghost tiles
     return io + body + small
 
@@ -1603,6 +1635,8 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
         out_co = refs[off + 12]
         out_tau = refs[off + 13]
         out_sc = refs[off + 14] if fold_sc else None
+        out_sc1 = refs[off + 15] if fold_sc else None
+        out_chg = refs[off + 16] if fold_sc else None
 
         def emit(k, body, glo, ghi):
             out_int[k][:] = body[1:SLAB + 1]
@@ -1621,8 +1655,10 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
 
         emit_sc = None
         if fold_sc:
-            def emit_sc(sc_raw):
+            def emit_sc(sc_raw, sc_s1, chg):
                 out_sc[:] = sc_raw[1:SLAB + 1]
+                out_sc1[:] = sc_s1[1:SLAB + 1]
+                out_chg[:] = jnp.full((8, LANE), chg, dtype)
 
         frame(dt_ref[0, 0], (is_lo, is_hi, True, True),
               wp_, wT, wux, wuy, wsc, bc_vals, emit=emit, emit_dt=emit_dt,
@@ -1650,9 +1686,9 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
         + [a_spec, b_spec, c_spec] * n_state
         + [g_spec] * 8 + bc_specs,
         out_specs=[a_spec] * 4 + [g_spec] * 8 + [r_spec] * 2
-        + ([a_spec] if fold_sc else []),
+        + ([a_spec, a_spec, r_spec] if fold_sc else []),
         out_shape=[fshape] * 4 + [gshape] * 8 + [rshape] * 2
-        + ([fshape] if fold_sc else []),
+        + ([fshape, fshape, rshape] if fold_sc else []),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -1791,6 +1827,25 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
 
     h_cell0 = float(np.asarray(mesh.h_cell).reshape(-1)[0])
 
+    def _s1_strip_fix(s1_cells, raw_cells):
+        """Recompute the folded smooth ring at the cell rows whose 3x3
+        neighbourhood touched a stale slab halo (rows i*S-2 .. i*S+1 per
+        interior boundary) from the STRIP-FIXED raw frame; returns the
+        repaired ring-1 cells and whether any repaired row changed
+        (arithmetic mirrors qgdcoeffs._neighbour_max exactly)."""
+        rows = np.asarray(sorted({
+            r for i in range(1, n_slabs)
+            for r in (i * SLAB - 2, i * SLAB - 1, i * SLAB, i * SLAB + 1)
+            if 0 <= r < nx}))
+        rm = raw_cells[np.clip(rows - 1, 0, nx - 1)]
+        r0 = raw_cells[rows]
+        rp = raw_cells[np.clip(rows + 1, 0, nx - 1)]
+        le = jnp.concatenate([r0[:, :1], r0[:, :-1]], axis=1)
+        ri = jnp.concatenate([r0[:, 1:], r0[:, -1:]], axis=1)
+        nb = jnp.maximum(jnp.maximum(rm, rp), jnp.maximum(le, ri))
+        f1 = jnp.maximum(r0, nb / (1.0 + float(tm.smoothCoeff)))
+        return s1_cells.at[rows].set(f1), jnp.any(f1 > r0)
+
     def step(ts: TiledState) -> TiledState:
         dtv = ts.dt.astype(dtype)
         # setDeltaT from the CARRIED rates (emitted by the previous kernel
@@ -1802,12 +1857,16 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
         if has_varsc:
             if fold_sc:
                 sc_raw_c = ts.sc_raw[:, 1:M + 1]
+                sc_s1_c = ts.sc_s1[:, 1:M + 1]
+                chg = jnp.max(ts.sc_chg) > 0.0
                 if n_slabs > 1:
                     sc_raw_c = _sc_strip_fix(sc_raw_c, ts)
-                from ..physics.qgdcoeffs import fvc_smooth
+                    sc_s1_c, chg_s = _s1_strip_fix(sc_s1_c, sc_raw_c)
+                    chg = jnp.logical_or(chg, chg_s)
+                from ..physics.qgdcoeffs import fvc_smooth_continue
 
-                sc_int = fvc_smooth(sc_raw_c,
-                                    tm.smoothCoeff).astype(dtype)
+                sc_int = fvc_smooth_continue(
+                    sc_s1_c, chg, tm.smoothCoeff).astype(dtype)
             else:
                 rho_int = th.rho_from_p_T(ts.p[:, 1:M + 1],
                                           ts.T[:, 1:M + 1])
@@ -1833,22 +1892,36 @@ def build_tiled_fused_step(solver, interpret: tp.Optional[bool] = None,
                           gl=tuple(outs[4:8]), gh=tuple(outs[8:12]),
                           t=ts.t + dt_new, dt=dt_new, sc=sc_new,
                           co_rate=co_rate, tau_rate=tau_rate,
-                          sc_raw=outs[14] if fold_sc else None)
+                          sc_raw=outs[14] if fold_sc else None,
+                          sc_s1=outs[15] if fold_sc else None,
+                          sc_chg=outs[16] if fold_sc else None)
 
     to_fused0, from_fused = _make_tiled_state_io(solver, nx, M, Wp, dtype)
 
     def to_fused(s):
         ts = to_fused0(s)
         co_rate, tau_rate = _init_rates(ts)
-        sc_raw = None
+        sc_raw = sc_s1 = sc_chg = None
         if fold_sc:
+            from ..physics.qgdcoeffs import _neighbour_max
+
             rho_int = th.rho_from_p_T(ts.p[:, 1:M + 1], ts.T[:, 1:M + 1])
             raw = tm.sc_raw_update(mesh, rho_int,
                                    ts.sc[:, 1:M + 1]).astype(dtype)
-            sc_raw = jnp.pad(jnp.pad(raw, ((0, 0), (1, 1)), mode="edge"),
-                             ((0, 0), (0, Wp - W)), mode="edge")
+
+            def lane_pad(a):
+                return jnp.pad(jnp.pad(a, ((0, 0), (1, 1)), mode="edge"),
+                               ((0, 0), (0, Wp - W)), mode="edge")
+
+            f1 = jnp.maximum(raw, _neighbour_max(raw)
+                             / (1.0 + float(tm.smoothCoeff))).astype(dtype)
+            sc_raw = lane_pad(raw)
+            sc_s1 = lane_pad(f1)
+            sc_chg = jnp.full((n_slabs * 8, LANE),
+                              jnp.where(jnp.any(f1 > raw), 1.0, 0.0),
+                              dtype=dtype)
         return ts._replace(co_rate=co_rate, tau_rate=tau_rate,
-                           sc_raw=sc_raw)
+                           sc_raw=sc_raw, sc_s1=sc_s1, sc_chg=sc_chg)
 
     return step, to_fused, from_fused
 

@@ -251,6 +251,33 @@ def fvc_smooth(field, coeff, max_iters: int = 10_000):
     return out
 
 
+def fvc_smooth_continue(f1, changed, coeff, max_iters: int = 10_000):
+    """Continue the fvc_smooth fixed point from an externally supplied
+    FIRST relaxation ring (f1 = max(f, nbr_max(f)/maxRatio), e.g. folded
+    into a Pallas slab kernel over the fresh fields) and its change flag
+    (changed = any(f1 > f), conservative-true allowed — the body is
+    idempotent at the fixed point, so an overeager flag only costs a
+    no-op sweep).  Bitwise-identical continuation to `fvc_smooth`."""
+    from ..parallel import spmd
+
+    max_ratio = 1.0 + coeff
+
+    def body(carry):
+        f, _, it = carry
+        fn = f
+        for _ in range(4):
+            fn = jnp.maximum(fn, _neighbour_max(fn) / max_ratio)
+        return fn, spmd.all_any(jnp.any(fn > f)), it + 4
+
+    def cond(carry):
+        _, ch, it = carry
+        return jnp.logical_and(ch, it < max_iters)
+
+    out, _, _ = jax.lax.while_loop(cond, body, (f1, changed,
+                                                jnp.asarray(1)))
+    return out
+
+
 @register("tau", "varScModel5")
 @dataclasses.dataclass(frozen=True)
 class VarScModel5(TauModel):
