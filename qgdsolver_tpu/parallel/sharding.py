@@ -102,20 +102,14 @@ def spmd_supported(solver) -> tp.Optional[str]:
     arrays inside the shard body (parallel.shardmesh.ShardMesh), exactly
     reproducing the serial discretization at partition faces — the
     counterpart of the reference's mesh-agnostic decomposition
-    (extendedFaceStencilCalculateWeights_8C_source.html:165-229)."""
+    (extendedFaceStencilCalculateWeights_8C_source.html:165-229).
+    Const-Sc cellSets / per-cell cqSc floors window per shard
+    (spmd.localize_cells), and DyM (mesh_velocity / mesh_scale) configs
+    ride the ShardMesh geometry windows with globally-reduced mesh
+    Courant — only stairstep solid masks remain excluded."""
     mesh = solver.mesh
     if getattr(mesh, "solid", None) is not None:
         return "stairstep solid masks are globally indexed"
-    tm = getattr(solver, "tau_model", None)
-    if tm is not None:
-        if getattr(tm, "const_sc_mask", None) is not None:
-            return "varScModel5 const-Sc cellSet is globally indexed"
-        cq = getattr(tm, "cqSc", 0.0)
-        if hasattr(cq, "ndim") and getattr(cq, "ndim", 0) > 0:
-            return "per-cell cqSc floor is globally indexed"
-    if (getattr(solver, "mesh_scale", None) is not None
-            or getattr(solver, "mesh_velocity", None) is not None):
-        return "deforming meshes (DyM) use global face coordinates"
     return None
 
 
@@ -190,6 +184,8 @@ def build_spmd_step(solver, dmesh: DeviceMesh, state,
     # the migration block faces need the shard's true window).
     uniform = (not getattr(mesh, "axisymmetric", False)
                and not _is_particles(solver)
+               and getattr(solver, "mesh_scale", None) is None
+               and getattr(solver, "mesh_velocity", None) is None
                and all(np.allclose(mesh.dx[a], mesh.dx[a][0])
                        for a in range(nd)))
     def replace_mesh(sv, m):

@@ -194,6 +194,35 @@ def halo_layers(arr, arr_axis: int, mesh_axis: int, periodic: bool = False):
     return from_prev, from_next, idx == 0, idx == sh.size - 1
 
 
+def localize_cells(v, mesh_ndim: int):
+    """Window a spatially-GLOBAL cell array (e.g. a const-Sc cellSet mask
+    or a per-cell bad-quality floor, both trace-time constants on the
+    model) to this shard's block: each sharded axis of global extent
+    dynamic-slices to [idx*n_local, +n_local).  Local or size-1 extents
+    pass through; no-op without an active context."""
+    ctx = current()
+    if ctx is None or not hasattr(v, "ndim") or v.ndim == 0:
+        return v
+    for b in range(mesh_ndim):
+        sh = ctx.axes[b]
+        if sh is None or sh.size == 1:
+            continue
+        ax = v.ndim - mesh_ndim + b
+        if ax < 0:
+            continue
+        ext = int(v.shape[ax])
+        ng, nl = ctx.global_shape[b], sh.n_local
+        if ext in (1, nl):
+            continue
+        if ext != ng:
+            raise ValueError(
+                f"cell array extent {ext} along axis {b} matches neither "
+                f"the local ({nl}) nor the global ({ng}) size")
+        start = jax.lax.axis_index(sh.name) * nl
+        v = jax.lax.dynamic_slice_in_dim(v, start, nl, axis=ax)
+    return v
+
+
 def localize_layer(v, a: int, mesh_ndim: int):
     """Window a spatially-global BC layer array to this shard's block.
 

@@ -307,14 +307,21 @@ class VarScModel5(TauModel):
         reference ordering varScModel5_8C:214-232 up to the fvc::smooth.
         Split out so the tiled fused pipeline can fold it into the slab
         kernel (only the global smooth fixed point stays XLA-side)."""
+        from ..parallel import spmd as _spmd
+
         grad_rho = fvsc.grad_cell(rho, _zg(mesh.ndim), mesh)
         mag_grad = jnp.sqrt(jnp.sum(jnp.square(grad_rho), axis=0))
         sc = self.rC * (mag_grad * mesh.h_cell / rho) + (1.0 - self.rC) * sc_prev
         sc = jnp.clip(sc, self.minSc, self.maxSc)
-        sc = jnp.maximum(sc, self.cqSc)
+        cq = self.cqSc
+        if hasattr(cq, "ndim") and getattr(cq, "ndim", 0) > 0:
+            # per-cell bad-quality floor: window to the shard's block
+            cq = _spmd.localize_cells(jnp.asarray(cq), mesh.ndim)
+        sc = jnp.maximum(sc, cq)
         if self.const_sc_mask is not None:
-            sc = jnp.where(jnp.asarray(self.const_sc_mask) > 0,
-                           self.const_sc_value, sc)
+            mask = _spmd.localize_cells(jnp.asarray(self.const_sc_mask),
+                                        mesh.ndim)
+            sc = jnp.where(mask > 0, self.const_sc_value, sc)
         return sc
 
     def sc_update(self, mesh: Mesh, rho, sc_prev):

@@ -262,14 +262,18 @@ class QHDFoam:
                         [dil if i == a else jnp.zeros_like(dil)
                          for i in range(nd)], axis=0)
                     Uf_co.append((Uf[a] - um0 - dil) / sv)
-                    h_phys = (jnp.min(jnp.asarray(mesh.h_face(a),
-                                                  dtype=T.dtype))
-                              * s_old[a])
+                    # global reductions under spmd decomposition (the
+                    # local h/face-speed extrema differ per shard)
+                    h_phys = (common.spmd.all_min(
+                        jnp.min(jnp.asarray(mesh.h_face(a),
+                                            dtype=T.dtype))) * s_old[a])
                     um0_a = (jnp.asarray(self.mesh_velocity(t))[a]
                              if self.mesh_velocity is not None else 0.0)
                     mesh_co = jnp.maximum(
                         mesh_co,
-                        jnp.max(jnp.abs(sdot_a * xi + um0_a)) * dt / h_phys)
+                        common.spmd.all_max(
+                            jnp.max(jnp.abs(sdot_a * xi + um0_a)))
+                        * dt / h_phys)
                 co = common.courant_advective(tuple(Uf_co), dt, mesh)
                 if self.check_mesh_courant:
                     co = jnp.maximum(co, mesh_co)
@@ -281,8 +285,9 @@ class QHDFoam:
                     umv = jnp.asarray(self.mesh_velocity(t))
                     mesh_co = jnp.max(jnp.stack([
                         jnp.abs(umv[a]) * dt
-                        / jnp.min(jnp.asarray(mesh.h_face(a),
-                                              dtype=umv.dtype))
+                        / common.spmd.all_min(
+                            jnp.min(jnp.asarray(mesh.h_face(a),
+                                                dtype=umv.dtype)))
                         for a in range(nd)]))
                     co = jnp.maximum(co, mesh_co)
             else:

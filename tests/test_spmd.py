@@ -106,17 +106,19 @@ def test_spmd_efficiency_mechanism_counts():
 
 
 def test_spmd_unsupported_reasons():
-    """Globally-indexed configs are rejected loudly, not silently wrong."""
+    """The one remaining exclusion (stairstep solid masks, globally
+    indexed through numpy trace-time machinery) is rejected loudly, not
+    silently wrong."""
     from qgdsolver_tpu.core.mesh import Mesh
     from qgdsolver_tpu.solvers.qgd import QGDFoam
     from qgdsolver_tpu.physics.thermo import PerfectGasThermo
-    from qgdsolver_tpu.physics.qgdcoeffs import VarScModel5
 
-    mesh = Mesh.uniform((32, 32), lengths=(1.0, 1.0), dtype=np.float64)
+    solid = np.zeros((32, 32), dtype=bool)
+    solid[:8, :8] = True
+    mesh = Mesh(x_faces=(np.linspace(0, 1, 33), np.linspace(0, 1, 33)),
+                solid=solid, dtype=np.float64)
     th = PerfectGasThermo(R=287.0, Cp=1004.5)
-    solver = QGDFoam(
-        mesh=mesh, thermo=th,
-        tau_model=VarScModel5(const_sc_mask=np.ones((32, 32))))
+    solver = QGDFoam(mesh=mesh, thermo=th)
     assert shd.spmd_supported(solver) is not None
     state = solver.init(np.full((32, 32), 1e5), np.full((32, 32), 300.0),
                         np.zeros((2, 32, 32)))
@@ -360,3 +362,69 @@ def test_particles_spmd_parity_4x2():
     moved = shard_of(np.asarray(s_ref.cloud.x)[:, :len(planted)]) \
         != shard_of(x_p[:, :len(planted)])
     assert moved.sum() >= 4
+
+
+def test_dym_deforming_spmd_parity_2x2():
+    """QHDDyMFoam (deforming mesh) decomposes (the last r4 spmd exclusion
+    class besides solid masks): ShardMesh windows the logical face
+    coordinates per shard, the Thomas-Lombard mesh fluxes evaluate on the
+    shard's true xi-window, and the mesh Courant reduces globally."""
+    from qgdsolver_tpu.core.mesh import Mesh
+    from qgdsolver_tpu.physics.thermo import RhoConstThermo
+    from qgdsolver_tpu.physics.qgdcoeffs import ConstTau
+    from qgdsolver_tpu.solvers.common import TimeControls
+    from qgdsolver_tpu.solvers.qhd_dym import QHDDyMFoam
+
+    n = 24
+    mesh = Mesh.uniform((n, n), lengths=(1.0, 1.0), dtype=np.float64)
+    thermo = RhoConstThermo(rho0=1.0, Cp=1000.0, mu0=1e-3, Pr=1.0)
+
+    def scale(t):
+        return (1.0 + 0.15 * jnp.sin(3.0 * t),
+                1.0 + 0.15 * jnp.sin(5.1 * t + 0.5))
+
+    zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), 2)
+    solver = QHDDyMFoam(
+        mesh_scale=scale, mesh_velocity=lambda t: (0.05, -0.02),
+        check_mesh_courant=True,
+        mesh=mesh, thermo=thermo, tau_model=ConstTau(tau0=1e-4),
+        bc_U=zg, bc_T=zg, bc_p=zg,
+        time=TimeControls(max_co=0.3, max_dt=5e-3, dt0=1e-3),
+        cg_tol=1e-12,
+    )
+    assert shd.spmd_supported(solver) is None
+    x = np.asarray(mesh.cell_coords(0)) * np.ones(mesh.shape)
+    y = np.asarray(mesh.cell_coords(1)) * np.ones(mesh.shape)
+    T0 = jnp.asarray(np.exp(-((x - 0.4) ** 2 + (y - 0.6) ** 2) / 0.05))
+    U0 = jnp.zeros((2, n, n))
+    state = solver.init(U0, T0)
+    _parity(solver, state, 6, _dmesh(2, 2), rtol=1e-8)
+
+
+def test_varsc_const_sc_cellset_spmd_parity():
+    """varScModel5 const-Sc cellSets + per-cell cqSc floors window per
+    shard (spmd.localize_cells) — the globally-indexed-mask exclusion is
+    lifted."""
+    from qgdsolver_tpu.physics.qgdcoeffs import VarScModel5
+
+    import dataclasses as dc
+
+    solver0, state = cases.supersonic_jet(shape=(64, 32), dtype=np.float64)
+    mask = np.zeros((64, 32))
+    mask[20:30, 10:20] = 1.0
+    cq = np.full((64, 32), 0.02)
+    cq[40:50, :] = 0.35
+    solver = dc.replace(
+        solver0,
+        tau_model=VarScModel5(alpha=0.5, Pr=1.0, rC=0.5, minSc=0.05,
+                              maxSc=1.0, smoothCoeff=0.1,
+                              const_sc_mask=mask, const_sc_value=0.77,
+                              cqSc=cq))
+    assert shd.spmd_supported(solver) is None
+    state = solver.init(
+        p0=jnp.full((64, 32), 1e5), T0=jnp.full((64, 32), 300.0),
+        U0=state.rhoU / state.rho[None], sc0=jnp.full((64, 32), 0.05))
+    s_ref, ss = _parity(solver, state, 8, _dmesh(4, 2), rtol=1e-11)
+    # the cellSet actually pinned Sc (comparison not vacuous)
+    assert np.allclose(np.asarray(s_ref.sc)[20:30, 10:20], 0.77)
+    assert float(np.asarray(s_ref.sc)[40:50].min()) >= 0.35 - 1e-12
