@@ -977,11 +977,19 @@ def build_fused_step(solver, interpret: tp.Optional[bool] = None,
                 nb = jnp.maximum(jnp.maximum(up_n, dn_n),
                                  jnp.maximum(le_n, ri_n))
                 sc_s1 = jnp.maximum(f_, nb / (1.0 + tm.smoothCoeff))
-                # change partial over the live cells (stale rows included:
-                # conservative — the continuation is idempotent)
+                # change partial over the live cells EXCLUDING the rows
+                # whose f1 saw stale halo data (local rows 1-2 / S-1..S on
+                # interior slab boundaries): those are exactly the rows the
+                # wrapper strip-fix re-checks, and a stale false-positive
+                # here would fire the (frame-sweeping) XLA continuation
+                # every step
                 live_sc = jnp.logical_and(
-                    jnp.logical_and(rowid >= 1, rowid <= NR - 2),
-                    jnp.logical_and(colid >= 1, colid <= M))
+                    jnp.logical_and(
+                        jnp.logical_or(is_lo, rowid >= 3),
+                        jnp.logical_or(is_hi, rowid <= NR - 4)),
+                    jnp.logical_and(
+                        jnp.logical_and(rowid >= 1, rowid <= NR - 2),
+                        jnp.logical_and(colid >= 1, colid <= M)))
                 chg = jnp.max(jnp.where(live_sc, sc_s1 - sc_raw, 0.0))
                 emit_sc(sc_raw, sc_s1, chg)
         return results, dt_new
