@@ -223,6 +223,125 @@ class Mesh:
 Mesh.axisymmetric = False
 
 
+class TracedMesh:
+    """Mesh-geometry view over TRACED per-axis face coordinates.
+
+    Backs arbitrary per-axis 1-D mesh motion (QHDDyMFoam `mesh_faces`):
+    inside the jitted step, x_faces = motion(t) is a tuple of traced
+    (n_a+1,) arrays and every geometry quantity is recomputed from them
+    with the EXACT `Mesh` formulas in jnp — the moving-mesh counterpart of
+    OpenFOAM's mesh.update() geometry refresh (QHDDyMFoam_8C:109-135).
+    Shapes stay static; the instance lives for one trace (no caching
+    hazards).  Duck-types the `Mesh` surface the ops layer consumes (the
+    same contract `parallel.shardmesh.ShardMesh` established)."""
+
+    axisymmetric = False
+    solid = None
+
+    def __init__(self, x_faces, dtype=np.float32):
+        self.x_faces = tuple(jnp.asarray(f) for f in x_faces)
+        self.dtype = np.dtype(dtype)
+        self.shape = tuple(int(f.shape[0]) - 1 for f in self.x_faces)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.x_faces)
+
+    @property
+    def num_cells(self) -> int:
+        return int(np.prod(self.shape))
+
+    def face_shape(self, axis: int) -> tuple:
+        s = list(self.shape)
+        s[axis] += 1
+        return tuple(s)
+
+    @property
+    def dx(self):
+        return tuple(jnp.diff(f) for f in self.x_faces)
+
+    @property
+    def centers(self):
+        return tuple(0.5 * (f[:-1] + f[1:]) for f in self.x_faces)
+
+    @property
+    def _pdx(self):
+        return tuple(jnp.concatenate([d[:1], d, d[-1:]]) for d in self.dx)
+
+    @property
+    def d_centers(self):
+        return tuple(0.5 * (p[:-1] + p[1:]) for p in self._pdx)
+
+    @property
+    def w_face(self):
+        return tuple(p[1:] / (p[:-1] + p[1:]) for p in self._pdx)
+
+    @property
+    def w_vertex(self):
+        return self.w_face
+
+    @property
+    def h_face_1d(self):
+        out = []
+        for d in self.dx:
+            mid = jnp.minimum(d[:-1], d[1:])
+            out.append(jnp.concatenate([d[:1], mid, d[-1:]]))
+        return tuple(out)
+
+    def bcast(self, arr_1d, axis: int):
+        return _reshape_axis(jnp.asarray(arr_1d), axis,
+                             self.ndim).astype(self.dtype)
+
+    @property
+    def cell_volume(self):
+        v = _reshape_axis(self.dx[0], 0, self.ndim)
+        for a in range(1, self.ndim):
+            v = v * _reshape_axis(self.dx[a], a, self.ndim)
+        return v.astype(self.dtype)
+
+    def face_area(self, axis: int):
+        a_ = jnp.ones((1,) * self.ndim)
+        for b in range(self.ndim):
+            if b != axis:
+                a_ = a_ * _reshape_axis(self.dx[b], b, self.ndim)
+        return a_.astype(self.dtype)
+
+    def h_face(self, axis: int):
+        return self.bcast(self.h_face_1d[axis], axis)
+
+    @property
+    def h_cell(self):
+        num = 0.0
+        den = 0.0
+        for a in range(self.ndim):
+            hf = self.h_face_1d[a]
+            h_lo = _reshape_axis(hf[:-1], a, self.ndim)
+            h_hi = _reshape_axis(hf[1:], a, self.ndim)
+            area = jnp.ones((1,) * self.ndim)
+            for b in range(self.ndim):
+                if b != a:
+                    area = area * _reshape_axis(self.dx[b], b, self.ndim)
+            num = num + area * (h_lo + h_hi)
+            den = den + 2.0 * area
+        return jnp.broadcast_to(num / den, self.shape).astype(self.dtype)
+
+    @property
+    def ext_centers(self):
+        out = []
+        for a in range(self.ndim):
+            c = self.centers[a]
+            f = self.x_faces[a]
+            out.append(jnp.concatenate([2 * f[:1] - c[:1], c,
+                                        2 * f[-1:] - c[-1:]]))
+        return tuple(out)
+
+    def cell_coords(self, axis: int):
+        return self.bcast(self.centers[axis], axis)
+
+    def face_coords(self, axis: int):
+        return self.bcast(self.x_faces[axis], axis)
+
+
 @dataclasses.dataclass(frozen=True)
 class AxisymmetricMesh(Mesh):
     """2D axisymmetric (x, r) mesh — the structured counterpart of an

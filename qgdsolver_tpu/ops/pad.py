@@ -133,6 +133,12 @@ def _ghost_layers(bc_lo, bc_hi, arr, mesh, a, t, vector):
             return other_interior
         if isinstance(bc, bcm.Extrapolated):
             return 2.0 * interior - near2
+        if isinstance(bc, bcm.WaveTransmissive):
+            # solvers with the carried-face-value machinery (the QGD
+            # family) substitute Mixed before padding; elsewhere the
+            # marker degrades to the linear-extrapolation outflow it
+            # replaced (the pre-r5 word mapping)
+            return 2.0 * interior - near2
         if isinstance(bc, bcm.FluxSwitched):
             v = ev(bc.value, side, interior)
             # the outflow mask lives on the unpadded mesh; axes < a already

@@ -90,6 +90,17 @@ class QHDFoam:
     # re-design of the reference's arbitrary dynamicFvMesh mesh.update() +
     # makeRelative (QHDDyMFoam_8C_source.html:44-60, 109-135).
     mesh_scale: tp.Optional[tp.Callable] = None
+    # QHDDyMFoam, GENERAL per-axis motion: prescribed face-coordinate
+    # trajectories t -> tuple of (n_a+1,) arrays (absolute positions,
+    # strictly increasing).  Subsumes rigid translation and dilation and
+    # adds arbitrary 1-D motions (pistons, oscillating walls, moving
+    # refinement zones).  OpenFOAM order (QHDDyMFoam_8C:109-135): Courant
+    # + setDeltaT on the pre-motion mesh, mesh.update(), then the whole
+    # step on the POST-motion geometry (a per-trace core.mesh.TracedMesh)
+    # with moving-volume ddt (V_old/V_new)*old/dt and Thomas-Lombard
+    # mixed-area mesh fluxes (discrete GCL exact).  Mutually exclusive
+    # with mesh_velocity/mesh_scale.
+    mesh_faces: tp.Optional[tp.Callable] = None
     # checkMeshCourantNo analogue (controlDict option of the DyM solvers):
     # fold the mesh-flux Courant number into the dt controller so mesh
     # motion cannot outrun the grid (the reference only warns; capping is
@@ -135,6 +146,15 @@ class QHDFoam:
         if self.mesh_scale is not None and self.t_equation == "mules":
             raise NotImplementedError(
                 "mules T-equation on a deforming mesh")
+        general = self.mesh_faces is not None
+        if general and (self.mesh_scale is not None
+                        or self.mesh_velocity is not None):
+            raise ValueError(
+                "mesh_faces is the general motion spec — do not combine "
+                "with mesh_velocity/mesh_scale")
+        if general and self.t_equation == "mules":
+            raise NotImplementedError(
+                "mules T-equation on a deforming mesh")
         mesh = self.mesh
         nd = mesh.ndim
         bc_U, bc_T, bc_p0 = self._bcs()
@@ -162,7 +182,8 @@ class QHDFoam:
 
             from ..core.solid import StairstepSolid
 
-            if self.mesh_scale is not None or self.mesh_velocity is not None:
+            if (self.mesh_scale is not None
+                    or self.mesh_velocity is not None or general):
                 raise NotImplementedError("solid masks on a deforming mesh")
             wall = StairstepSolid(mesh.solid)
             fluid_np = ~_np.asarray(mesh.solid, dtype=bool)
@@ -172,7 +193,10 @@ class QHDFoam:
             # a backward-facing step)
             ref_cell = tuple(int(i) for i in _np.argwhere(fluid_np)[0])
 
+        mesh_c = mesh
+
         def step(s: State) -> State:
+            mesh = mesh_c
             U, T, p, t, dt = s
             if wall is not None:
                 # mirror-ghost fill of solid boundary cells: shared faces
@@ -186,6 +210,72 @@ class QHDFoam:
             rho = thermo.rho(p, T)
             mu = thermo.mu(p, T)
             alpha = thermo.alphah(p, T)
+
+            # ---- general per-axis mesh motion (mesh_faces) ---------------
+            # OpenFOAM order: Courant + setDeltaT on the PRE-motion mesh,
+            # mesh.update(), then the whole step on the post-motion
+            # geometry (QHDDyMFoam_8C_source.html:109-135)
+            dt_pre = None
+            vol_ratio = None
+            mesh_sweep = None
+            if general:
+                from ..core.mesh import TracedMesh
+
+                xo = [jnp.asarray(f, dtype=T.dtype)
+                      for f in self.mesh_faces(t)]
+                m_old = TracedMesh(tuple(xo), dtype=mesh_c.dtype)
+                Uf0 = fvsc.interpolate(U, bc_Us, m_old, t=t, vector=True)
+                xe = [jnp.asarray(f, dtype=T.dtype)
+                      for f in self.mesh_faces(t + dt)]
+                Uf_rel0 = []
+                mesh_co = jnp.zeros((), dtype=T.dtype)
+                for a in range(nd):
+                    um_f = m_old.bcast((xe[a] - xo[a]) / dt, a)
+                    rel = jnp.concatenate(
+                        [Uf0[a][i:i + 1] - (um_f[None] if i == a else 0.0)
+                         for i in range(nd)], axis=0)
+                    Uf_rel0.append(rel)
+                    if self.check_mesh_courant:
+                        mesh_co = jnp.maximum(
+                            mesh_co,
+                            common.spmd.all_max(jnp.max(jnp.abs(um_f)))
+                            * dt / common.spmd.all_min(
+                                jnp.min(m_old.h_face(a))))
+                co0 = common.courant_advective(tuple(Uf_rel0), dt, m_old)
+                if self.check_mesh_courant:
+                    co0 = jnp.maximum(co0, mesh_co)
+                coeffs0 = self.tau_model.correct(m_old, p=p, T=T, ref=T,
+                                                 mu=mu, rho=rho)
+                dt_pre = common.set_delta_t(
+                    dt, co0, common.tau_f_min(coeffs0.tau_f), tc)
+                # mesh.update(): every operator below runs on the moved
+                # geometry via the traced-mesh view
+                xn = [jnp.asarray(f, dtype=T.dtype)
+                      for f in self.mesh_faces(t + dt_pre)]
+                mesh = TracedMesh(tuple(xn), dtype=mesh_c.dtype)
+                vol_ratio = (m_old.cell_volume
+                             / mesh.cell_volume).astype(T.dtype)
+                # Thomas-Lombard mixed-area mesh fluxes (axis a: NEW
+                # spacings for b < a, OLD for b > a): the face sweeps
+                # telescope to V_new - V_old per cell EXACTLY — the
+                # discrete geometric conservation law
+                dx_o = [xo[a][1:] - xo[a][:-1] for a in range(nd)]
+                dx_n = [xn[a][1:] - xn[a][:-1] for a in range(nd)]
+
+                def rs(v, a):
+                    shape = [1] * nd
+                    shape[a] = v.shape[0]
+                    return v.reshape(shape)
+
+                mesh_sweep = []
+                for a in range(nd):
+                    sw = rs((xn[a] - xo[a]) * (1.0 / dt_pre), a)
+                    for b in range(nd):
+                        if b < a:
+                            sw = sw * rs(dx_n[b], b)
+                        elif b > a:
+                            sw = sw * rs(dx_o[b], b)
+                    mesh_sweep.append(sw)
 
             # ---- updateFields.H ------------------------------------------
             deform = self.mesh_scale is not None
@@ -238,7 +328,9 @@ class QHDFoam:
             # same tau*(0 - BdFrc) wall value a body-fitted boundary does)
 
             # ---- Courant + setDeltaT -------------------------------------
-            if deform:
+            if general:
+                pass  # dt chosen on the pre-motion mesh above
+            elif deform:
                 # physical h_face = h_log*s: fold 1/s into the velocity.
                 # The mesh face speed is the FULL u_m = sdot_a*xi_a + um0_a
                 # the mesh fluxes use below — fast dilation must limit dt
@@ -292,7 +384,11 @@ class QHDFoam:
                     co = jnp.maximum(co, mesh_co)
             else:
                 co = common.courant_advective(Uf, dt, mesh)
-            dt_new = common.set_delta_t(dt, co, common.tau_f_min(tau_f), tc)
+            if general:
+                dt_new = dt_pre
+            else:
+                dt_new = common.set_delta_t(dt, co,
+                                            common.tau_f_min(tau_f), tc)
 
             # ---- deforming-mesh metric factors (identity when static) ----
             if deform:
@@ -312,7 +408,10 @@ class QHDFoam:
                               for a in range(nd))
             else:
                 s_new = None
-                vr = 1.0
+                # moving-volume ddt on the general motion path: the
+                # operators already live on the post-motion geometry, so
+                # only the (V_old/V_new)*old/dt ratio enters
+                vr = vol_ratio if general else 1.0
                 inv_v = 1.0
                 gam_p = taubyrhof
 
@@ -376,7 +475,10 @@ class QHDFoam:
                     phiu[a] - phiwo[a]
                     - tb_flux[a] * area[a] * snp[a] * fmasks[a]
                     for a in range(nd))
-            if self.mesh_velocity is not None or deform:
+            if general:
+                # fvc::makeRelative(phi, U) with the Thomas-Lombard sweeps
+                phi = tuple(phi[a] - mesh_sweep[a] for a in range(nd))
+            elif self.mesh_velocity is not None or deform:
                 # fvc::makeRelative(phi, U): subtract the mesh face flux
                 # (QHDDyMFoam_8C:109-135).  Dilation: u_m = sdot*xi + odot
                 # with Thomas-Lombard mixed areas (axis a uses new scales

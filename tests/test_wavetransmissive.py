@@ -117,3 +117,39 @@ def test_wave_transmissive_word_ingestion():
          "value": ["uniform", "1e5"]}, 2, (0, 1), False)
     assert isinstance(b, bcm.WaveTransmissive)
     assert b.field_inf == 1e5 and b.l_inf == 0.3
+
+
+def test_wave_transmissive_case_ingestion_runs(tmp_path):
+    """An ingested QGDFoam jet case with waveTransmissive p/U/T outflow
+    words builds the characteristic markers and runs (the wt face values
+    ride the State carry); non-QGD solvers degrade the marker to the
+    linear-extrapolation outflow at pad time (pre-r5 behavior)."""
+    import os
+    import shutil
+
+    from qgdsolver_tpu.io import foam_case
+    from qgdsolver_tpu.solvers import common
+    from qgdsolver_tpu.solvers.qgd import QGDFoam
+
+    src = os.path.join(os.path.dirname(__file__), "fixtures", "jet_case")
+    case = tmp_path / "jet_wt"
+    shutil.copytree(src, case)
+    ptxt = (case / "0" / "p").read_text()
+    # swap the outlet word for waveTransmissive with fieldInf/lInf
+    assert "qgdFlux" in ptxt or "zeroGradient" in ptxt
+    import re
+
+    ptxt = re.sub(
+        r"outlet\s*\{[^}]*\}",
+        "outlet { type waveTransmissive; fieldInf 101325; lInf 0.5; "
+        "value uniform 101325; }", ptxt)
+    (case / "0" / "p").write_text(ptxt)
+    solver, state = foam_case.build_case(str(case))
+    assert isinstance(solver, QGDFoam)
+    assert any(isinstance(solver.bc_p[a, s], bcm.WaveTransmissive)
+               for a in range(2) for s in (0, 1))
+    assert len(state.wt) >= 1
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, state, 10)
+    assert np.isfinite(np.asarray(s.rho)).all()
+    assert all(np.isfinite(np.asarray(w)).all() for w in s.wt)
