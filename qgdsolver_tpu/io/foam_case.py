@@ -789,10 +789,14 @@ def _read_dynamic_mesh(case_dir: str, ndim: int):
 
     The reference QHDDyMFoam constructs whatever dynamicFvMesh the dict
     names (QHDDyMFoam_8C_source.html:44-60); the structured-mesh design
-    supports the rigid-translation and per-axis-dilation subset:
+    supports the rigid-translation / per-axis-dilation / oscillating
+    subset (arbitrary per-axis 1-D face motion is the library-level
+    `mesh_faces` spec):
       solver uniformVelocity;  velocity (ux uy uz);
       solver uniformDilation;  rate (rx ry rz);   // s_a(t) = 1 + r_a t
-    (both may appear together)."""
+      oscillatingLinearMotionCoeffs { amplitude (ax ay az); omega w; }
+        // rigid x(t) = A sin(w t): mesh_velocity = A w cos(w t)
+    (velocity/rate may appear together)."""
     p = os.path.join(case_dir, "constant", "dynamicMeshDict")
     if not os.path.exists(p):
         return {}
@@ -804,6 +808,18 @@ def _read_dynamic_mesh(case_dir: str, ndim: int):
             sub.update(v)
     sub.update({k: v for k, v in d.items() if not isinstance(v, dict)})
     kw = {}
+    if "amplitude" in sub and "omega" in sub:
+        # OpenFOAM oscillatingLinearMotion: x(t) = amplitude*sin(omega*t)
+        amp = tuple(float(x) for x in sub["amplitude"])[:ndim]
+        om = float(sub["omega"])
+
+        def mesh_velocity_osc(t, _a=amp, _w=om):
+            import jax.numpy as _jnp
+
+            c = _w * _jnp.cos(_w * t)
+            return tuple(a * c for a in _a)
+
+        kw["mesh_velocity"] = mesh_velocity_osc
     if "velocity" in sub:
         vel = tuple(float(x) for x in sub["velocity"])[:ndim]
 

@@ -771,3 +771,31 @@ def test_build_case_inter_mqhdflux(tmp_path):
     xcom0 = float((np.asarray(a0) * x).sum() / np.asarray(a0).sum())
     xcom = float((a * x).sum() / a.sum())
     assert xcom > xcom0
+
+
+def test_build_case_qhd_dym_oscillating(tmp_path):
+    """dynamicMeshDict oscillatingLinearMotion (the OpenFOAM prescribed
+    rigid oscillation) maps onto mesh_velocity = A*omega*cos(omega*t)."""
+    import shutil
+
+    case = tmp_path / "dym_osc"
+    shutil.copytree(os.path.join(FIX, "dym_case"), case)
+    (case / "constant" / "dynamicMeshDict").write_text(
+        "FoamFile { version 2.0; format ascii; class dictionary; "
+        "object dynamicMeshDict; }\n"
+        "dynamicFvMesh dynamicMotionSolverFvMesh;\n"
+        "motionSolver oscillatingLinearMotion;\n"
+        "oscillatingLinearMotionCoeffs { amplitude (0.02 0 0); "
+        "omega 6.2832; }\n"
+        "checkMeshCourantNo yes;\n")
+    solver, state = foam_case.build_case(str(case))
+    assert solver.mesh_velocity is not None
+    v0 = np.asarray(solver.mesh_velocity(0.0))
+    np.testing.assert_allclose(v0[0], 0.02 * 6.2832, rtol=1e-6)
+    vq = np.asarray(jax.jit(lambda t: jnp.stack(
+        solver.mesh_velocity(t)))(np.pi / 6.2832))
+    np.testing.assert_allclose(vq[0], -0.02 * 6.2832, rtol=1e-5)
+    assert solver.check_mesh_courant
+    step = jax.jit(solver.make_step())
+    s = common.run_steps(step, state, 3)
+    assert np.isfinite(np.asarray(s.T)).all()
