@@ -110,9 +110,6 @@ def spmd_supported(solver) -> tp.Optional[str]:
     mesh = solver.mesh
     if getattr(mesh, "solid", None) is not None:
         return "stairstep solid masks are globally indexed"
-    if getattr(solver, "mesh_faces", None) is not None:
-        return ("general mesh_faces motion rebuilds GLOBAL traced "
-                "geometry per step (no per-shard window yet)")
     return None
 
 

@@ -1,5 +1,9 @@
 """Per-shard geometry windows for spmd decomposition of nonuniform meshes.
 
+The global mesh may itself be a `core.mesh.TracedMesh` (general per-axis
+mesh motion under decomposition): the windows then dynamic-slice traced
+global arrays instead of numpy constants — same semantics.
+
 The reference's MPI decomposition is mesh-agnostic: decomposePar hands every
 rank its own cell geometry, graded spacings and wedge radii included
 (extendedFaceStencilCalculateWeights_8C_source.html:165-229 exchanges true
@@ -73,7 +77,7 @@ class ShardMesh:
         n_local + extra starting at the shard's cell offset.  `extra`
         covers face (+1) and ghost-extended (+2) arrays, whose global
         versions are aligned so the same start index applies."""
-        arr = jnp.asarray(np.asarray(arr))
+        arr = jnp.asarray(arr)   # numpy global OR traced (TracedMesh)
         return jax.lax.dynamic_slice_in_dim(
             arr, self._starts[a], self.shape[a] + extra, axis=0)
 
@@ -132,7 +136,7 @@ class ShardMesh:
         """Window a broadcastable global array: size-1 dims pass through;
         dims of global cell extent window to n_local (n_local+1 when the
         dim is `face_axis` at face extent)."""
-        arr = jnp.asarray(np.asarray(arr))
+        arr = jnp.asarray(arr)   # numpy global OR traced (TracedMesh)
         out = arr
         for a in range(self.ndim):
             d = arr.ndim - self.ndim + a

@@ -221,16 +221,41 @@ class QHDFoam:
             if general:
                 from ..core.mesh import TracedMesh
 
-                xo = [jnp.asarray(f, dtype=T.dtype)
-                      for f in self.mesh_faces(t)]
-                m_old = TracedMesh(tuple(xo), dtype=mesh_c.dtype)
+                ctx = common.spmd.current()
+
+                def mk_mesh(faces):
+                    """Traced post-motion geometry; under an spmd
+                    decomposition each shard windows the GLOBAL traced
+                    arrays (ShardMesh over a TracedMesh — partition faces
+                    see the true neighbour-side spacings)."""
+                    tm = TracedMesh(
+                        tuple(jnp.asarray(f, dtype=T.dtype)
+                              for f in faces), dtype=mesh_c.dtype)
+                    if ctx is None:
+                        return tm
+                    from ..parallel.shardmesh import ShardMesh
+
+                    starts = []
+                    shape_l = []
+                    for b in range(nd):
+                        axb = ctx.axes[b]
+                        if axb is None or axb.size == 1:
+                            starts.append(0)
+                            shape_l.append(ctx.global_shape[b])
+                        else:
+                            starts.append(jax.lax.axis_index(axb.name)
+                                          * axb.n_local)
+                            shape_l.append(axb.n_local)
+                    return ShardMesh(tm, starts, shape_l)
+
+                m_old = mk_mesh(self.mesh_faces(t))
+                m_est = mk_mesh(self.mesh_faces(t + dt))
                 Uf0 = fvsc.interpolate(U, bc_Us, m_old, t=t, vector=True)
-                xe = [jnp.asarray(f, dtype=T.dtype)
-                      for f in self.mesh_faces(t + dt)]
                 Uf_rel0 = []
                 mesh_co = jnp.zeros((), dtype=T.dtype)
                 for a in range(nd):
-                    um_f = m_old.bcast((xe[a] - xo[a]) / dt, a)
+                    um_f = m_old.bcast(
+                        (m_est.x_faces[a] - m_old.x_faces[a]) / dt, a)
                     rel = jnp.concatenate(
                         [Uf0[a][i:i + 1] - (um_f[None] if i == a else 0.0)
                          for i in range(nd)], axis=0)
@@ -250,17 +275,16 @@ class QHDFoam:
                     dt, co0, common.tau_f_min(coeffs0.tau_f), tc)
                 # mesh.update(): every operator below runs on the moved
                 # geometry via the traced-mesh view
-                xn = [jnp.asarray(f, dtype=T.dtype)
-                      for f in self.mesh_faces(t + dt_pre)]
-                mesh = TracedMesh(tuple(xn), dtype=mesh_c.dtype)
+                mesh = mk_mesh(self.mesh_faces(t + dt_pre))
                 vol_ratio = (m_old.cell_volume
                              / mesh.cell_volume).astype(T.dtype)
                 # Thomas-Lombard mixed-area mesh fluxes (axis a: NEW
                 # spacings for b < a, OLD for b > a): the face sweeps
                 # telescope to V_new - V_old per cell EXACTLY — the
-                # discrete geometric conservation law
-                dx_o = [xo[a][1:] - xo[a][:-1] for a in range(nd)]
-                dx_n = [xn[a][1:] - xn[a][:-1] for a in range(nd)]
+                # discrete geometric conservation law.  All pieces come
+                # from the (possibly shard-windowed) mesh accessors.
+                dx_o = m_old.dx
+                dx_n = mesh.dx
 
                 def rs(v, a):
                     shape = [1] * nd
@@ -269,7 +293,8 @@ class QHDFoam:
 
                 mesh_sweep = []
                 for a in range(nd):
-                    sw = rs((xn[a] - xo[a]) * (1.0 / dt_pre), a)
+                    sw = rs((mesh.x_faces[a] - m_old.x_faces[a])
+                            * (1.0 / dt_pre), a)
                     for b in range(nd):
                         if b < a:
                             sw = sw * rs(dx_n[b], b)

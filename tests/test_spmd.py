@@ -428,3 +428,39 @@ def test_varsc_const_sc_cellset_spmd_parity():
     # the cellSet actually pinned Sc (comparison not vacuous)
     assert np.allclose(np.asarray(s_ref.sc)[20:30, 10:20], 0.77)
     assert float(np.asarray(s_ref.sc)[40:50].min()) >= 0.35 - 1e-12
+
+
+def test_general_mesh_motion_spmd_parity_2x2():
+    """Arbitrary per-axis 1-D mesh motion (mesh_faces) decomposes: each
+    shard windows the GLOBAL traced geometry per step (ShardMesh over a
+    TracedMesh), so the sloshing-grid run matches the serial one."""
+    from qgdsolver_tpu.core.mesh import Mesh
+    from qgdsolver_tpu.physics.thermo import RhoConstThermo
+    from qgdsolver_tpu.physics.qgdcoeffs import ConstTau
+    from qgdsolver_tpu.solvers.common import TimeControls
+    from qgdsolver_tpu.solvers.qhd_dym import QHDDyMFoam
+
+    n = 24
+    mesh = Mesh.uniform((n, n), lengths=(1.0, 1.0), dtype=np.float64)
+    thermo = RhoConstThermo(rho0=1.0, Cp=1000.0, mu0=1e-3, Pr=1.0)
+    x0 = np.linspace(0.0, 1.0, n + 1)
+
+    def faces(t):
+        wob = 0.06 * jnp.sin(3.0 * t) * jnp.sin(np.pi * x0)
+        breathe = 0.04 * jnp.sin(5.1 * t) * x0 * (1.0 - x0)
+        return (x0 + wob, x0 + breathe)
+
+    zg = bcm.FieldBCs.uniform(bcm.ZeroGradient(), 2)
+    solver = QHDDyMFoam(
+        mesh_faces=faces, check_mesh_courant=True,
+        mesh=mesh, thermo=thermo, tau_model=ConstTau(tau0=1e-4),
+        bc_U=zg, bc_T=zg, bc_p=zg,
+        time=TimeControls(max_co=0.3, max_dt=5e-3, dt0=1e-3),
+        cg_tol=1e-12,
+    )
+    assert shd.spmd_supported(solver) is None
+    x = np.asarray(mesh.cell_coords(0)) * np.ones(mesh.shape)
+    y = np.asarray(mesh.cell_coords(1)) * np.ones(mesh.shape)
+    T0 = jnp.asarray(np.exp(-((x - 0.45) ** 2 + (y - 0.55) ** 2) / 0.05))
+    state = solver.init(jnp.zeros((2, n, n)), T0)
+    _parity(solver, state, 6, _dmesh(2, 2), rtol=1e-8)
