@@ -266,3 +266,35 @@ def test_tiled_varsc_sensor_active_matches_whole_frame():
         a, b = np.asarray(getattr(sw, name)), np.asarray(getattr(st, name))
         scale = np.max(np.abs(a))
         assert np.max(np.abs(a - b)) / scale < 2e-5, name
+
+
+def test_tiled_varsc_smooth_continuation_fires_and_matches():
+    """A near-delta density spike drives adjacent raw-sensor ratios far
+    beyond maxRatio: the folded ring-1's change partial MUST fire and the
+    XLA continuation (fvc_smooth_continue) must reproduce the composable
+    fvc_smooth wave — the r5 fold's rarely-taken branch, taken."""
+    solver, state = cases.supersonic_jet_varsc(shape=(64, 32),
+                                               dtype=np.float32)
+    x = np.asarray(solver.mesh.centers[0])
+    spike = (1.0 + 2.5 * (np.abs(x[:, None] - x[24]) < 1.1 * (x[1] - x[0]))
+             ).astype(np.float32)
+    state = state._replace(rho=state.rho * spike, rhoE=state.rhoE * spike)
+    step_c = jax.jit(solver.make_step())
+    step_t, to_t, from_t = fused_qgd2d.build_tiled_fused_step(
+        solver, slab_rows=8)
+    s = step_c(state)  # seed sc/pbc
+    ft = to_t(s)
+    sc_ref = s
+    fired = False
+    for _ in range(4):
+        sc_ref = step_c(sc_ref)
+        ft = jax.jit(step_t)(ft)
+        fired = fired or float(jnp.max(ft.sc_chg)) > 0.0
+    assert fired, "the folded ring-1 change partial never fired"
+    st = from_t(ft)
+    np.testing.assert_allclose(np.asarray(ft.dt), np.asarray(sc_ref.dt),
+                               rtol=1e-6)
+    # the smoothed sensor (ring-1 in-kernel + XLA continuation) tracks the
+    # composable fvc_smooth wave
+    np.testing.assert_allclose(np.asarray(st.sc), np.asarray(sc_ref.sc),
+                               rtol=1e-4, atol=1e-4)
