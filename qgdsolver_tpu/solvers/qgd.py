@@ -586,7 +586,9 @@ class QGDFoam:
         2D (ops.fused_qgd2d — uniform f32 mesh, perfect-gas thermo,
         constScPrModel1-family or varScModel5 tau, explicit diffusion,
         simple/qgdFlux BCs; whole-frame or HBM-tiled) or 3D
-        (ops.fused_qgd3d — x-slab pipelined grid, constScPr family)."""
+        (ops.fused_qgd3d — x-slab pipelined grid at the same flagship
+        feature set: constScPr family AND varScModel5, qgdFlux p on the
+        x sides, array-valued inlet plane profiles)."""
         if self.mesh.ndim == 3:
             from ..ops import fused_qgd3d
 
