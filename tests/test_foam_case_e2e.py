@@ -799,3 +799,96 @@ def test_build_case_qhd_dym_oscillating(tmp_path):
     step = jax.jit(solver.make_step())
     s = common.run_steps(step, state, 3)
     assert np.isfinite(np.asarray(s.T)).all()
+
+
+def test_build_case_3d_flagship_rides_fused_kernel(tmp_path):
+    """An ingested reference-layout 3D case with varScModel5 + qgdFlux
+    (the production shock-capturing words) builds a config the fused 3D
+    flagship kernel covers (r5): a reference user's 3D tutorial lands on
+    the fast path, not the composable fallback."""
+    import shutil
+
+    from qgdsolver_tpu.ops import fused_qgd3d
+    from qgdsolver_tpu.physics.qgdcoeffs import VarScModel5
+
+    case = tmp_path / "duct3d"
+    shutil.copytree(CASE, case)
+    (case / "system" / "blockMeshDict").write_text("""
+FoamFile { version 2.0; format ascii; class dictionary; object blockMeshDict; }
+convertToMeters 1;
+vertices
+(
+    (0 0 0) (1 0 0) (1 0.5 0) (0 0.5 0)
+    (0 0 0.5) (1 0 0.5) (1 0.5 0.5) (0 0.5 0.5)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (16 6 6) simpleGrading (1 1 1) );
+edges ();
+boundary
+(
+    inlet  { type patch; faces ((0 4 7 3)); }
+    outlet { type patch; faces ((1 2 6 5)); }
+    bottom { type wall;  faces ((0 1 5 4)); }
+    top    { type wall;  faces ((3 7 6 2)); }
+    back   { type wall;  faces ((0 3 2 1)); }
+    front  { type wall;  faces ((4 5 6 7)); }
+);
+mergePatchPairs ();
+""")
+    th = (case / "constant" / "thermophysicalProperties").read_text()
+    qgd_start = th.index("QGD\n")
+    th = th[:qgd_start] + (
+        "QGD\n{\n    implicitDiffusion false;\n"
+        "    QGDCoeffs       varScModel5;\n    aQGD 0.5;\n"
+        "    PrQGD 1.0;\n    rC 0.5;\n    minSc 0.05;\n"
+        "    maxSc 1.0;\n    smoothCoeff 0.1;\n}\n")
+    (case / "constant" / "thermophysicalProperties").write_text(th)
+    (case / "0" / "p").write_text(
+        "FoamFile { version 2.0; format ascii; class volScalarField;"
+        " object p; }\n"
+        "dimensions [1 -1 -2 0 0 0 0];\n"
+        "internalField uniform 101325;\n"
+        "boundaryField\n{\n"
+        "    inlet  { type zeroGradient; }\n"
+        "    outlet { type qgdFlux; value uniform 101325; }\n"
+        "    bottom { type zeroGradient; }\n"
+        "    top    { type zeroGradient; }\n"
+        "    back   { type zeroGradient; }\n"
+        "    front  { type zeroGradient; }\n}\n")
+    (case / "0" / "U").write_text(
+        "FoamFile { version 2.0; format ascii; class volVectorField;"
+        " object U; }\n"
+        "internalField uniform (0 0 0);\n"
+        "boundaryField\n{\n"
+        "    inlet  { type fixedValue; value uniform (500 0 0); }\n"
+        "    outlet { type zeroGradient; }\n"
+        "    bottom { type zeroGradient; }\n"
+        "    top    { type zeroGradient; }\n"
+        "    back   { type zeroGradient; }\n"
+        "    front  { type zeroGradient; }\n}\n")
+    (case / "0" / "T").write_text(
+        "FoamFile { version 2.0; format ascii; class volScalarField;"
+        " object T; }\n"
+        "internalField uniform 300;\n"
+        "boundaryField\n{\n"
+        "    inlet  { type fixedValue; value uniform 300; }\n"
+        "    outlet { type zeroGradient; }\n"
+        "    bottom { type zeroGradient; }\n"
+        "    top    { type zeroGradient; }\n"
+        "    back   { type zeroGradient; }\n"
+        "    front  { type zeroGradient; }\n}\n")
+    solver, state = foam_case.build_case(str(case))
+    assert solver.mesh.ndim == 3
+    assert isinstance(solver.tau_model, VarScModel5)
+    assert solver._flux_sides() == ((0, 1),)
+    # the ingested config IS flagship-kernel-eligible
+    assert fused_qgd3d.supported(solver)
+    assert solver.fused_supported()
+    # and the fused step runs it (interpret mode on CPU)
+    fstep, to_f, from_f = fused_qgd3d.build_fused_step_3d(solver,
+                                                          interpret=True)
+    fs = to_f(state)
+    for _ in range(3):
+        fs = jax.jit(fstep)(fs)
+    out = from_f(fs)
+    assert np.isfinite(np.asarray(out.rho)).all()
+    assert np.asarray(out.rho).min() > 0
